@@ -1,0 +1,115 @@
+"""Depth sampling along rays: stratified + hierarchical (inverse-CDF).
+
+TPU-first notes:
+  * Everything is device-resident. The reference evaluates sample_pdf on CPU
+    (main.py:722-728, a GPU->CPU->GPU round-trip); here jnp.searchsorted stays
+    on device and is vmapped over rays with static shapes.
+  * Randomness is explicit jax.random keys, not a global seed.
+
+Parity: reference main.py:676-699 (stratified), helpers.py:283-330
+(sample_pdf).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["linear_zvals", "stratify_zvals", "stratified_sample", "sample_pdf"]
+
+
+def linear_zvals(near, far, n_samples: int, lindisp: bool = False):
+    """Base depth values. near/far are scalars or [..., 1] per-ray arrays.
+
+    Returns broadcastable z_vals of shape broadcast(near, far) x [n_samples].
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    if lindisp:
+        return 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    return near * (1.0 - t) + far * t
+
+
+def stratify_zvals(key, z_vals, t_rand=None):
+    """Jitter each depth sample uniformly within its interval.
+
+    z_vals: [..., S]. Intervals are delimited by midpoints between adjacent
+    samples (first/last intervals extend to the endpoints), matching the
+    reference's perturb>0 branch (main.py:684-699).
+
+    t_rand: optional pre-drawn uniforms (the reference's pytest=True
+    deterministic hook: tests supply fixed numbers instead of emulating
+    another framework's RNG stream).
+    """
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+    lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+    if t_rand is None:
+        t_rand = jax.random.uniform(key, z_vals.shape)
+    return lower + (upper - lower) * t_rand
+
+
+def stratified_sample(key, rays_o, rays_d, near, far, n_samples: int,
+                      lindisp: bool = False, perturb: bool = True,
+                      t_rand=None):
+    """Sample 3D points along rays.
+
+    Returns (pts [..., S, 3], z_vals [..., S]).
+    """
+    shape = rays_o.shape[:-1]
+    z = linear_zvals(near, far, n_samples, lindisp)
+    z = jnp.broadcast_to(z, shape + (n_samples,))
+    if perturb:
+        z = stratify_zvals(key, z, t_rand)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
+    return pts, z
+
+
+def sample_pdf(key, bins, weights, n_samples: int, det: bool = False, u=None):
+    """Inverse-CDF importance sampling of depths from coarse weights.
+
+    Args:
+      bins: [..., B] bin edges (z-value midpoints).
+      weights: [..., B-1] unnormalized per-bin weights.
+      n_samples: number of fine samples to draw.
+      det: evenly spaced CDF levels instead of uniform randoms.
+      u: optional pre-drawn uniforms [..., n_samples] (determinism hook).
+
+    Returns samples [..., n_samples]. Device-native (no host round trip),
+    matching reference helpers.py:283-330 semantics including the 1e-5
+    weight floor and the denom<1e-5 guard.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # [..., B]
+
+    if u is None:
+        if det:
+            u = jnp.linspace(0.0, 1.0, n_samples)
+            u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+        else:
+            u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+
+    # searchsorted(side='right') per ray; vmap keeps shapes static for XLA.
+    def _search(c, uu):
+        return jnp.searchsorted(c, uu, side="right")
+
+    flat_cdf = cdf.reshape((-1, cdf.shape[-1]))
+    flat_u = u.reshape((-1, n_samples))
+    inds = jax.vmap(_search)(flat_cdf, flat_u).reshape(u.shape)
+
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)

@@ -1,0 +1,64 @@
+"""R2L (neural light field) rendering: one ray -> one forward -> one pixel.
+
+Parity with the reference's R2L eval path (main.py:285-325: sample_test ->
+positional_embedder -> model forward, reshaped to an image). TPU-first: the
+whole H*W-ray frame is one (or a few chunked) [B, 1008] x 88-matmul XLA
+program; no per-sample axis exists at all.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.encoding import ray_embed
+from ..core.ray_sampler import sample_image_points, sample_ray_points
+from ..core.rays import plucker_rays
+
+__all__ = ["r2l_forward_rays", "r2l_render_image", "make_r2l_forward"]
+
+
+def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
+                     n_sample: int, L: int = 10, plucker: bool = False,
+                     key: Optional[jax.Array] = None, perturb: bool = False):
+    """[B, 3] rays -> [B, output_dim] colors."""
+    if plucker:
+        pts = plucker_rays(rays_o, rays_d)
+    else:
+        pts = sample_ray_points(rays_o, rays_d, near, far, n_sample,
+                                key=key, perturb=perturb)
+    x = ray_embed(pts, L)
+    return model.apply({"params": params}, x)
+
+
+def make_r2l_forward(model, near: float, far: float, n_sample: int,
+                     L: int = 10, plucker: bool = False):
+    """Jitted eval-mode ray forward: (params, rays_o, rays_d) -> rgb."""
+
+    def fn(params, rays_o, rays_d):
+        return r2l_forward_rays(model, params, rays_o, rays_d, near, far,
+                                n_sample, L=L, plucker=plucker, perturb=False)
+
+    return jax.jit(fn)
+
+
+def r2l_render_image(model, params, c2w, H: int, W: int, focal: float,
+                     near: float, far: float, n_sample: int, L: int = 10,
+                     plucker: bool = False, chunk: int = 0):
+    """Render a full frame. chunk=0 -> the whole frame in one XLA call
+    (the fast path: H*W x width matmuls saturate the MXU)."""
+    pts = sample_image_points(c2w, H, W, focal, near, far, n_sample,
+                              plucker=plucker)
+    x = ray_embed(pts, L)
+    if chunk and chunk < x.shape[0]:
+        n = x.shape[0]
+        n_chunks = -(-n // chunk)
+        x = jnp.pad(x, ((0, n_chunks * chunk - n), (0, 0)))
+        x = x.reshape(n_chunks, chunk, x.shape[-1])
+        _, rgb = jax.lax.scan(
+            lambda c, xi: (c, model.apply({"params": params}, xi)), None, x)
+        rgb = rgb.reshape(-1, rgb.shape[-1])[:n]
+    else:
+        rgb = model.apply({"params": params}, x)
+    return rgb.reshape(H, W, -1)

@@ -1,0 +1,209 @@
+"""The single volumetric renderer (coarse + hierarchical fine pass).
+
+The reference implements this stack three times (main.py:51-186/556-756,
+create_data.py:41-544, helpers+model partials); this is the one
+implementation, a pure function of (params, rays, rng) designed for jit:
+
+  * static shapes everywhere (N_samples / N_importance / chunk are Python
+    ints), so XLA tiles every matmul onto the MXU;
+  * `sample_pdf` runs on device (the reference round-trips through the CPU,
+    main.py:722-728);
+  * the whole coarse->fine chain (embed, MLP, composite, importance
+    resample, fine MLP, composite) compiles into one fused program;
+  * full-image rendering pads H*W rays to a chunk multiple and lax.map's
+    the chunk renderer — one compile, any image size.
+
+Ray-batch convention (parity with reference render() main.py:107-186): rays
+are (o, d) pairs with scalar near/far from config; viewdirs are normalized
+rays_d computed BEFORE NDC projection.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.encoding import nerf_embed
+from ..core.rays import get_rays, ndc_rays
+from ..core.sampling import linear_zvals, sample_pdf, stratify_zvals
+from ..core.volume import raw2outputs
+
+__all__ = ["RenderConfig", "RenderResult", "render_rays", "render_image",
+           "make_ray_renderer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering options (hashable -> usable as a jit static arg)."""
+
+    n_samples: int = 64
+    n_importance: int = 128
+    perturb: bool = True          # stratified jitter of coarse depths
+    lindisp: bool = False
+    white_bkgd: bool = False
+    raw_noise_std: float = 0.0
+    use_viewdirs: bool = True
+    multires: int = 10            # positional-encoding L for points
+    multires_views: int = 4       # positional-encoding L for view dirs
+    ndc: bool = False
+    near: float = 2.0
+    far: float = 6.0
+    chunk: int = 32768            # rays per compiled step in render_image
+
+    def eval_mode(self) -> "RenderConfig":
+        """Test-time variant: no jitter, no sigma noise."""
+        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray
+    disp: jnp.ndarray
+    acc: jnp.ndarray
+    depth: jnp.ndarray
+    # coarse-pass outputs (meaningful when n_importance > 0)
+    rgb0: jnp.ndarray
+    disp0: jnp.ndarray
+    acc0: jnp.ndarray
+    z_std: jnp.ndarray
+
+
+def _query(model, params, pts, viewdirs, cfg: RenderConfig):
+    """Embed sample points (+dirs) and evaluate the field MLP.
+
+    pts: [N, S, 3]; viewdirs: [N, 3] or None. Returns raw [N, S, 4].
+    """
+    emb = nerf_embed(pts, cfg.multires)
+    if cfg.use_viewdirs:
+        dirs = nerf_embed(viewdirs, cfg.multires_views)
+        dirs = jnp.broadcast_to(dirs[..., None, :], pts.shape[:-1] + (dirs.shape[-1],))
+        emb = jnp.concatenate([emb, dirs], axis=-1)
+    return model.apply({"params": params}, emb)
+
+
+def render_rays(
+    model: Any,
+    params_coarse,
+    params_fine,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    key: Optional[jax.Array],
+    cfg: RenderConfig,
+    near=None,
+    far=None,
+    t_rand=None,
+    u=None,
+    noise=None,
+) -> RenderResult:
+    """Render a batch of rays [N, 3] through the coarse(+fine) field.
+
+    t_rand / u / noise are the determinism hooks (pre-drawn randoms) used by
+    golden tests, mirroring the reference's pytest=True mechanism.
+    """
+    n_rays = rays_o.shape[0]
+    near = cfg.near if near is None else near
+    far = cfg.far if far is None else far
+
+    if key is not None:
+        k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
+    else:
+        k_strat = k_pdf = k_noise_c = k_noise_f = None
+
+    z_vals = jnp.broadcast_to(
+        linear_zvals(near, far, cfg.n_samples, cfg.lindisp), (n_rays, cfg.n_samples)
+    )
+    if cfg.perturb:
+        z_vals = stratify_zvals(k_strat, z_vals, t_rand)
+
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = _query(model, params_coarse, pts, viewdirs, cfg)
+    coarse = raw2outputs(raw, z_vals, rays_d, cfg.raw_noise_std,
+                         cfg.white_bkgd, noise_key=k_noise_c, noise=noise)
+
+    if cfg.n_importance <= 0:
+        zeros = jnp.zeros((n_rays,), rays_o.dtype)
+        return RenderResult(coarse.rgb, coarse.disp, coarse.acc, coarse.depth,
+                            coarse.rgb, coarse.disp, coarse.acc, zeros)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(k_pdf, z_mid, coarse.weights[..., 1:-1],
+                           cfg.n_importance, det=not cfg.perturb, u=u)
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+    params_f = params_fine if params_fine is not None else params_coarse
+    raw = _query(model, params_f, pts, viewdirs, cfg)
+    fine = raw2outputs(raw, z_all, rays_d, cfg.raw_noise_std,
+                       cfg.white_bkgd, noise_key=k_noise_f, noise=None)
+
+    z_std = jnp.std(z_samples, axis=-1)
+    return RenderResult(fine.rgb, fine.disp, fine.acc, fine.depth,
+                        coarse.rgb, coarse.disp, coarse.acc, z_std)
+
+
+def _prep_full_image_rays(H, W, focal, c2w, cfg: RenderConfig):
+    rays_o, rays_d = get_rays(H, W, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if cfg.ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    return rays_o, rays_d, viewdirs
+
+
+def make_ray_renderer(model, cfg: RenderConfig):
+    """Jit-compiled chunk renderer: (params_c, params_f, o, d, vd, key) -> RenderResult."""
+
+    def fn(params_coarse, params_fine, rays_o, rays_d, viewdirs, key):
+        return render_rays(model, params_coarse, params_fine, rays_o, rays_d,
+                           viewdirs, key, cfg)
+
+    return jax.jit(fn)
+
+
+def render_image(model, params_coarse, params_fine, H: int, W: int,
+                 focal: float, c2w, cfg: RenderConfig,
+                 key: Optional[jax.Array] = None) -> RenderResult:
+    """Render a full H x W image, chunked to bound memory.
+
+    Pads the ray list to a multiple of cfg.chunk and scans the compiled
+    chunk renderer over it; outputs are reshaped to [H, W, ...].
+    """
+    rays_o, rays_d, viewdirs = _prep_full_image_rays(H, W, focal, c2w, cfg)
+    n = rays_o.shape[0]
+    chunk = min(cfg.chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad), (0, 0)))
+
+    rays_o, rays_d = pad0(rays_o), pad0(rays_d)
+    viewdirs = pad0(viewdirs) if viewdirs is not None else None
+    keys = (jax.random.split(key, n_chunks) if key is not None
+            else jnp.zeros((n_chunks, 2), jnp.uint32))
+
+    def chunk_fn(carry, inp):
+        o, d, vd, k = inp
+        res = render_rays(model, params_coarse, params_fine, o, d,
+                          vd if cfg.use_viewdirs else None,
+                          k if key is not None else None, cfg)
+        return carry, res
+
+    o_c = rays_o.reshape(n_chunks, chunk, 3)
+    d_c = rays_d.reshape(n_chunks, chunk, 3)
+    vd_c = (viewdirs.reshape(n_chunks, chunk, 3) if viewdirs is not None
+            else jnp.zeros((n_chunks, chunk, 3)))
+
+    _, res = jax.lax.scan(chunk_fn, None, (o_c, d_c, vd_c, keys))
+
+    def unshape(x):
+        x = x.reshape((n_chunks * chunk,) + x.shape[2:])[:n]
+        return x.reshape((H, W) + x.shape[1:])
+
+    return RenderResult(*[unshape(r) for r in res])
