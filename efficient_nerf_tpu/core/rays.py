@@ -54,9 +54,18 @@ def get_rays(H, W, focal, c2w, focal_scale: float = 1.0):
     Returns:
       (rays_o, rays_d), each [H, W, 3]. rays_d is NOT normalized (parity with
       the reference; the volume integrator rescales dists by ||rays_d||).
+
+    focal_scale may be a traced jnp scalar (the pseudo-data generator draws
+    it randomly per frame under jit); the pixel grid stays a compile-time
+    constant and only the x/y components are rescaled.
     """
     c2w = jnp.asarray(c2w)
-    dirs = pixel_dirs(H, W, float(focal) * float(focal_scale))
+    if isinstance(focal_scale, (int, float)):
+        dirs = pixel_dirs(H, W, float(focal) * float(focal_scale))
+    else:
+        dirs = pixel_dirs(H, W, float(focal))
+        dirs = jnp.concatenate(
+            [dirs[..., :2] / focal_scale, dirs[..., 2:]], axis=-1)
     # Rotate camera-frame dirs into the world frame: d_w = R @ d_c.
     # Elementwise mul + sum (VPU) instead of einsum: a 3x3 contraction gains
     # nothing from the MXU and the TPU default matmul precision (bf16) would

@@ -50,6 +50,7 @@ def _tolerant_pickle_module():
                 return type(name, (_Stub,), {})
 
     mod = types.SimpleNamespace()
+    mod.__name__ = "tolerant_pickle"
     mod.Unpickler = Unpickler
     mod.load = lambda f, **kw: Unpickler(f).load()
     mod.loads = lambda b, **kw: Unpickler(io.BytesIO(b)).load()

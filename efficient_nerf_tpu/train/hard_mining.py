@@ -1,0 +1,79 @@
+"""Hard-example mining as functional device-resident state.
+
+The reference keeps a host-side "hard ray" pool (main.py:1325-1347,
+1409-1425): after each step the per-ray MSEs of the batch are sorted, the
+top hard_ratio*B rays are pushed into a pool of size hard_mul*B, and once
+the pool is full each batch is augmented with n_hard_out random pool rays
+(which are then replaced by fresh hard rays).
+
+TPU design: the pool is a fixed [P, 9] device array inside the jitted train
+step — no host round trips, static shapes throughout:
+
+  * the batch is ALWAYS augmented with n_hard_out rows (static shape); while
+    the pool is still filling, the augmentation rows are drawn from the
+    current batch itself (harmless duplicate sampling) instead of the
+    reference's grow-then-augment (dynamic batch size, impossible under jit);
+  * mining scans only the first `batch_size` rows, matching the reference's
+    quirk of never re-mining the appended hard rays (main.py:1411-1413).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["HardPool", "hard_pool_init", "pick_hard_rays", "update_hard_pool"]
+
+
+class HardPool(NamedTuple):
+    rays: jnp.ndarray    # [P, D] rows of [rays_o, rays_d, target]
+    count: jnp.ndarray   # scalar int32: rows filled so far
+
+
+def hard_pool_init(pool_size: int, row_dim: int = 9) -> HardPool:
+    return HardPool(jnp.zeros((pool_size, row_dim), jnp.float32),
+                    jnp.zeros((), jnp.int32))
+
+
+def pick_hard_rays(pool: HardPool, key: jax.Array, batch: jnp.ndarray,
+                   n_hard_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rows to append to `batch` [B, D] plus the pool indices they came from.
+
+    While the pool is filling, rows are resampled from the batch (and the
+    returned indices still point into the pool; the subsequent replace-write
+    is masked off in update_hard_pool).
+    """
+    P = pool.rays.shape[0]
+    full = pool.count >= P
+    idx_out = jax.random.randint(key, (n_hard_out,), 0, P)
+    batch_idx = jax.random.randint(key, (n_hard_out,), 0, batch.shape[0])
+    picked = jnp.where(full, pool.rays[idx_out], batch[batch_idx])
+    return picked, idx_out
+
+
+def update_hard_pool(pool: HardPool, batch: jnp.ndarray, per_ray_mse: jnp.ndarray,
+                     idx_out: jnp.ndarray, n_hard_in: int,
+                     batch_size: int) -> HardPool:
+    """Mine the hardest rays of this step into the pool.
+
+    batch: [B_aug, D] (augmented batch); only the first batch_size rows are
+    scanned. per_ray_mse: [B_aug].
+    """
+    P = pool.rays.shape[0]
+    _, hard_idx = jax.lax.top_k(per_ray_mse[:batch_size], n_hard_in)
+    hard_rows = batch[hard_idx]  # [n_hard_in, D]
+
+    full = pool.count >= P
+
+    # Not-yet-full: append at offset `count` (clamped; dynamic_update_slice
+    # clips at the edge which matches "fill until full").
+    appended = jax.lax.dynamic_update_slice(
+        pool.rays, hard_rows, (jnp.minimum(pool.count, P - n_hard_in), 0)
+    )
+    # Full: replace the rows that were handed out this step.
+    replaced = pool.rays.at[idx_out[:n_hard_in]].set(hard_rows)
+
+    new_rays = jnp.where(full, replaced, appended)
+    new_count = jnp.minimum(pool.count + jnp.where(full, 0, n_hard_in), P)
+    return HardPool(new_rays, new_count)

@@ -1,0 +1,160 @@
+"""Jitted training steps for the R2L student and the NeRF teacher.
+
+Everything that the reference does per iteration on the host (lr schedule,
+hard-pool bookkeeping, loss/psnr computation; main.py:1175-1425) is fused
+here into a single donated XLA program per step: params, optimizer state and
+the hard-ray pool live on device and are updated in place.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.encoding import ray_embed
+from ..core.ray_sampler import sample_ray_points
+from ..core.rays import plucker_rays
+from ..render.renderer import RenderConfig, render_rays
+from .hard_mining import HardPool, pick_hard_rays, update_hard_pool
+
+__all__ = ["TrainState", "init_train_state", "make_r2l_train_step",
+           "make_teacher_train_step", "mse_to_psnr"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def mse_to_psnr(mse):
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+
+def make_r2l_train_step(
+    model,
+    optimizer,
+    *,
+    near: float,
+    far: float,
+    n_sample: int,
+    L: int = 10,
+    perturb: bool = True,
+    lw_rgb: float = 1.0,
+    learn_depth: bool = False,
+    lw_depth: float = 0.1,
+    plucker: bool = False,
+    hard: Optional[Tuple[int, int]] = None,  # (n_hard_in, n_hard_out)
+    donate: bool = True,
+):
+    """Build the jitted R2L distillation step.
+
+    step(state, pool, key, rays_o, rays_d, target) ->
+        (state, pool, metrics dict)
+
+    target is [B, 3] rgb (or [B, 4] with depth when learn_depth).
+    """
+
+    def step(state: TrainState, pool: HardPool, key, rays_o, rays_d, target):
+        batch_size = rays_o.shape[0]
+        k_pick, k_perturb = jax.random.split(key)
+        idx_out = None
+        if hard is not None:
+            n_hard_in, n_hard_out = hard
+            rows = jnp.concatenate([rays_o, rays_d, target], axis=-1)
+            picked, idx_out = pick_hard_rays(pool, k_pick, rows, n_hard_out)
+            rays_o_aug = jnp.concatenate([rays_o, picked[:, :3]], 0)
+            rays_d_aug = jnp.concatenate([rays_d, picked[:, 3:6]], 0)
+            target_aug = jnp.concatenate([target, picked[:, 6:]], 0)
+        else:
+            rays_o_aug, rays_d_aug, target_aug = rays_o, rays_d, target
+
+        def loss_fn(params):
+            if plucker:
+                pts = plucker_rays(rays_o_aug, rays_d_aug)
+            else:
+                pts = sample_ray_points(rays_o_aug, rays_d_aug, near, far,
+                                        n_sample, key=k_perturb,
+                                        perturb=perturb)
+            x = ray_embed(pts, L)
+            out = model.apply({"params": params}, x)
+            per_ray_mse = jnp.mean(
+                (out[:, :3] - target_aug[:, :3]) ** 2, axis=-1)
+            loss_rgb = jnp.mean(per_ray_mse) * lw_rgb
+            loss = loss_rgb
+            loss_d = jnp.zeros(())
+            if learn_depth:
+                loss_d = jnp.mean((out[:, 3:] - target_aug[:, 3:]) ** 2)
+                loss = loss + loss_d * lw_depth
+            return loss, (per_ray_mse, loss_rgb, loss_d)
+
+        grads, (per_ray_mse, loss_rgb, loss_d) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if hard is not None:
+            rows_aug = jnp.concatenate([rays_o_aug, rays_d_aug, target_aug], -1)
+            pool = update_hard_pool(pool, rows_aug, per_ray_mse, idx_out,
+                                    hard[0], batch_size)
+
+        metrics = {
+            "loss_rgb": loss_rgb,
+            "loss_depth": loss_d,
+            "psnr": mse_to_psnr(loss_rgb / lw_rgb),
+        }
+        return TrainState(params, opt_state, state.step + 1), pool, metrics
+
+    dn = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=dn)
+
+
+def make_teacher_train_step(
+    model,
+    optimizer,
+    cfg: RenderConfig,
+    donate: bool = True,
+):
+    """Build the jitted NeRF-teacher step (coarse + fine MSE losses).
+
+    step(state, key, rays_o, rays_d, target) -> (state, metrics)
+
+    state.params is {'coarse': ..., 'fine': ...} ('fine' may be absent when
+    cfg.n_importance == 0).
+    """
+    has_fine = cfg.n_importance > 0
+
+    def step(state: TrainState, key, rays_o, rays_d, target):
+        k_render = key
+
+        def loss_fn(params):
+            viewdirs = None
+            if cfg.use_viewdirs:
+                viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1,
+                                                    keepdims=True)
+            res = render_rays(model, params["coarse"],
+                              params.get("fine"), rays_o, rays_d,
+                              viewdirs, k_render, cfg)
+            loss = jnp.mean((res.rgb - target) ** 2)
+            loss_fine = loss
+            if has_fine:
+                loss = loss + jnp.mean((res.rgb0 - target) ** 2)
+            return loss, loss_fine
+
+        (loss, loss_fine), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "psnr": mse_to_psnr(loss_fine)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    dn = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=dn)

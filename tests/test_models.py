@@ -59,6 +59,19 @@ class TorchNeRF(tnn.Module):
         return self.output_linear(h)
 
 
+class Block(tnn.Module):
+    def __init__(self, width, n_learnable, res_scale):
+        super().__init__()
+        mods = [tnn.Linear(width, width)]
+        for _ in range(n_learnable - 1):
+            mods += [tnn.ReLU(), tnn.Linear(width, width)]
+        self.body = tnn.Sequential(*mods)
+        self.res_scale = res_scale
+
+    def forward(self, x):
+        return self.body(x) * self.res_scale + x
+
+
 class TorchR2L(tnn.Module):
     """Spec twin of the reference R2L resmlp student."""
 
@@ -67,19 +80,6 @@ class TorchR2L(tnn.Module):
         super().__init__()
         self.use_residual, self.res_scale = use_residual, res_scale
         self.head = tnn.Sequential(tnn.Linear(input_dim, W), tnn.ReLU())
-
-        class Block(tnn.Module):
-            def __init__(self, width, n_learnable, res_scale):
-                super().__init__()
-                mods = [tnn.Linear(width, width)]
-                for _ in range(n_learnable - 1):
-                    mods += [tnn.ReLU(), tnn.Linear(width, width)]
-                self.body = tnn.Sequential(*mods)
-                self.res_scale = res_scale
-
-            def forward(self, x):
-                return self.body(x) * self.res_scale + x
-
         self.body = tnn.Sequential(
             *[Block(W, n_learnable, res_scale) for _ in range(n_block)])
         self.tail = (tnn.Linear(W, 3) if linear_tail
