@@ -52,6 +52,7 @@ def make_r2l_train_step(
     plucker: bool = False,
     hard: Optional[Tuple[int, int]] = None,  # (n_hard_in, n_hard_out)
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted R2L distillation step.
 
@@ -112,6 +113,8 @@ def make_r2l_train_step(
         }
         return TrainState(params, opt_state, state.step + 1), pool, metrics
 
+    if not jit:
+        return step
     dn = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=dn)
 
@@ -121,6 +124,7 @@ def make_teacher_train_step(
     optimizer,
     cfg: RenderConfig,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build the jitted NeRF-teacher step (coarse + fine MSE losses).
 
@@ -156,5 +160,7 @@ def make_teacher_train_step(
         metrics = {"loss": loss, "psnr": mse_to_psnr(loss_fine)}
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if not jit:
+        return step
     dn = (0,) if donate else ()
     return jax.jit(step, donate_argnums=dn)
