@@ -14,11 +14,19 @@ positional-embed -> 88-layer ResMLP -> rgb, in bf16 on the MXU (params f32).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: first bench run pays the remote compile
+# (~minutes over the tunnel), subsequent runs start in seconds.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TORCH_BASELINE_RAYS_PER_S = 400 * 400 / 8.5 * 30  # ~565k rays/s (2080 Ti)
 
@@ -43,7 +51,6 @@ def main():
 
     use_fused = fused_ray_embed_available()
 
-    @jax.jit
     def render(params, rays_o, rays_d):
         if use_fused:
             x = ray_points_embed(rays_o, rays_d, 2.0, 6.0, n_sample, L)
@@ -52,21 +59,38 @@ def main():
             x = ray_embed(pts, L)
         return model.apply({"params": params}, x)
 
-    # warmup/compile
-    render(params, rays_o, rays_d).block_until_ready()
-    render(params, rays_o, rays_d).block_until_ready()
+    # Timing methodology for the tunneled TPU plugin (measured quirks:
+    # block_until_ready does not reliably synchronize, and the host<->device
+    # round trip costs ~30ms): render n frames inside ONE jitted scan whose
+    # per-frame inputs differ, reduce to a scalar (depends on every ray of
+    # every frame), and force completion by fetching the scalar. The fixed
+    # round-trip latency is cancelled by differencing two scan lengths.
+    def make_scan(n):
+        @jax.jit
+        def run(params, rays_o, rays_d, epss):
+            def body(acc, eps):
+                rgb = render(params, rays_o + eps, rays_d)
+                return acc + jnp.sum(rgb), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), epss)
+            return acc
+        return run
 
-    # Per-call blocking timing; median over iterations. (A lax.scan-chained
-    # variant reported physically impossible numbers on the experimental
-    # remote-TPU plugin, so each call is synchronized individually.)
-    n_iters = 10
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        render(params, rays_o, rays_d).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    n_lo, n_hi = 1, 6
+    run_lo, run_hi = make_scan(n_lo), make_scan(n_hi)
+    eps_lo = jnp.linspace(0.0, 1e-6, n_lo)
+    eps_hi = jnp.linspace(0.0, 1e-6, n_hi)
+    float(run_lo(params, rays_o, rays_d, eps_lo))  # compile
+    float(run_hi(params, rays_o, rays_d, eps_hi))
 
+    def timed(run, eps, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(params, rays_o, rays_d, eps))  # scalar fetch = barrier
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    dt = (timed(run_hi, eps_hi) - timed(run_lo, eps_lo)) / (n_hi - n_lo)
     rays_per_s = B / dt
     print(json.dumps({
         "metric": "r2l_w256d88_render_throughput",
