@@ -1,16 +1,23 @@
-"""Fused TPU ops (Pallas kernels) with pure-jnp reference fallbacks.
+"""Fused TPU ops with pure-jnp reference fallbacks.
 
-Every kernel here has a jnp twin in core/ used as the numerical reference;
-kernels activate only on TPU backends and can be force-disabled with
-EFFICIENT_NERF_TPU_NO_PALLAS=1.
+Two tiers:
+  * `ray_points_embed` — linearized sampling+embedding (y = o@P1 + d@P2 then
+    a trig select). Pure jnp, numerically identical to
+    core.ray_sampler+core.encoding, but avoids materializing the [B, K, L]
+    broadcast intermediates; used on every backend.
+  * `r2l_forward_fused` — the Pallas megakernel (ops/pallas/r2l_forward.py):
+    whole R2L inference forward in VMEM. TPU only; gate with
+    `fused_r2l_available()`; force-off with EFFICIENT_NERF_TPU_NO_PALLAS=1.
 """
 from __future__ import annotations
 
 import os
 
 import jax
+import jax.numpy as jnp
 
-__all__ = ["fused_ray_embed_available", "ray_points_embed"]
+__all__ = ["ray_points_embed", "fused_r2l_available", "r2l_forward_fused",
+           "fused_ray_embed_available"]
 
 
 def _on_tpu() -> bool:
@@ -20,32 +27,46 @@ def _on_tpu() -> bool:
         return False
 
 
-def fused_ray_embed_available() -> bool:
+def fused_r2l_available() -> bool:
     if os.environ.get("EFFICIENT_NERF_TPU_NO_PALLAS"):
         return False
     if not _on_tpu():
         return False
     try:
-        from .pallas import ray_embed  # noqa: F401
+        from .pallas import r2l_forward  # noqa: F401
         return True
     except ImportError:
         return False
 
 
+# back-compat alias (bench.py round-1 name)
+fused_ray_embed_available = fused_r2l_available
+
+
 def ray_points_embed(rays_o, rays_d, near, far, n_sample, L,
                      key=None, perturb=False):
-    """Fused rays -> stratified points -> flattened-ray PE.
+    """rays -> flattened stratified points -> R2L positional encoding.
 
-    Dispatches to the Pallas kernel on TPU, else the jnp path.
+    Deterministic path uses the linearized formulation; the perturbed
+    (training) path falls back to the explicit sample+embed chain.
     """
-    if fused_ray_embed_available():
-        from .pallas.ray_embed import ray_points_embed_pallas
+    if perturb:
+        from ..core.encoding import ray_embed
+        from ..core.ray_sampler import sample_ray_points
 
-        return ray_points_embed_pallas(rays_o, rays_d, near, far, n_sample, L,
-                                       key=key, perturb=perturb)
-    from ..core.encoding import ray_embed
-    from ..core.ray_sampler import sample_ray_points
+        pts = sample_ray_points(rays_o, rays_d, near, far, n_sample, key=key,
+                                perturb=True)
+        return ray_embed(pts, L)
 
-    pts = sample_ray_points(rays_o, rays_d, near, far, n_sample, key=key,
-                            perturb=perturb)
-    return ray_embed(pts, L)
+    from .pallas.r2l_forward import embed_constants
+
+    P1, P2, mode = embed_constants(n_sample, L, near, far)
+    y = rays_o @ P1 + rays_d @ P2
+    return jnp.where(mode == 0, jnp.sin(y),
+                     jnp.where(mode == 1, jnp.cos(y), y))
+
+
+def r2l_forward_fused(*args, **kwargs):
+    from .pallas.r2l_forward import r2l_forward_fused as impl
+
+    return impl(*args, **kwargs)

@@ -19,10 +19,37 @@ from ..core.rays import plucker_rays
 __all__ = ["r2l_forward_rays", "r2l_render_image", "make_r2l_forward"]
 
 
+def _fused_eligible(model, plucker: bool, perturb: bool) -> bool:
+    """The Pallas megakernel covers the flagship profile: uniform-width
+    resmlp scan body, relu in-act, sigmoid tail, eval mode, non-Plucker."""
+    from ..ops import fused_r2l_available
+
+    return (not plucker and not perturb
+            and model.body_arch == "resmlp"
+            and not model.layerwise_widths
+            and model.n_learnable == 2
+            and model.act == "relu" and model.inact == "relu"
+            and model.outact == "none"
+            and not model.linear_tail
+            and fused_r2l_available())
+
+
 def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
                      n_sample: int, L: int = 10, plucker: bool = False,
-                     key: Optional[jax.Array] = None, perturb: bool = False):
-    """[B, 3] rays -> [B, output_dim] colors."""
+                     key: Optional[jax.Array] = None, perturb: bool = False,
+                     allow_fused: bool = True):
+    """[B, 3] rays -> [B, output_dim] colors.
+
+    Eval-mode calls on TPU dispatch to the fused Pallas megakernel when the
+    model matches its profile (allow_fused=False forces the XLA path).
+    """
+    if allow_fused and _fused_eligible(model, plucker, perturb):
+        from ..ops import r2l_forward_fused
+
+        return r2l_forward_fused(
+            params, rays_o, rays_d, near, far, n_sample, L,
+            res_scale=model.res_scale,
+            use_global_residual=model.use_residual)
     if plucker:
         pts = plucker_rays(rays_o, rays_d)
     else:
@@ -48,6 +75,13 @@ def r2l_render_image(model, params, c2w, H: int, W: int, focal: float,
                      plucker: bool = False, chunk: int = 0):
     """Render a full frame. chunk=0 -> the whole frame in one XLA call
     (the fast path: H*W x width matmuls saturate the MXU)."""
+    if _fused_eligible(model, plucker, perturb=False):
+        from ..core.rays import get_rays
+
+        rays_o, rays_d = get_rays(H, W, focal, c2w)
+        rgb = r2l_forward_rays(model, params, rays_o.reshape(-1, 3),
+                               rays_d.reshape(-1, 3), near, far, n_sample, L)
+        return rgb.reshape(H, W, -1)
     pts = sample_image_points(c2w, H, W, focal, near, far, n_sample,
                               plucker=plucker)
     x = ray_embed(pts, L)

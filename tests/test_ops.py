@@ -1,0 +1,60 @@
+"""Fused-op tests: linearized embedding golden vs core path; megakernel in
+interpreter mode vs the flax forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficient_nerf_tpu.core.encoding import ray_embed
+from efficient_nerf_tpu.core.ray_sampler import sample_ray_points
+from efficient_nerf_tpu.models import R2LNet
+from efficient_nerf_tpu.ops import ray_points_embed
+
+
+def test_linearized_embed_matches_core(rng):
+    B, n_sample, L = 13, 6, 10
+    o = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    want = ray_embed(sample_ray_points(o, d, 2.0, 6.0, n_sample), L)
+    got = ray_points_embed(o, d, 2.0, 6.0, n_sample, L)
+    # The highest-frequency components evaluate sin/cos at ~3e3 rad where an
+    # f32 ulp of the argument is ~2.4e-4 rad; the two (mathematically equal)
+    # formulations may differ by a few ulps there.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_linearized_embed_perturb_path(rng):
+    B, n_sample, L = 7, 4, 4
+    o = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    got = ray_points_embed(o, d, 2.0, 6.0, n_sample, L, key=key, perturb=True)
+    want = ray_embed(
+        sample_ray_points(o, d, 2.0, 6.0, n_sample, key=key, perturb=True), L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("use_global_residual", [False, True])
+def test_megakernel_interpret_matches_flax(use_global_residual, rng):
+    """Pallas megakernel (interpret mode, f32) vs the reference flax forward."""
+    from efficient_nerf_tpu.ops.pallas.r2l_forward import r2l_forward_fused
+
+    n_sample, L, depth, width = 4, 10, 6, 128
+    input_dim = n_sample * 3 * (2 * L + 1)
+    model = R2LNet(input_dim=input_dim, depth=depth, width=width,
+                   use_residual=use_global_residual)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, input_dim)))["params"]
+
+    B = 40  # non-multiple of tile to exercise padding
+    o = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+
+    x = ray_embed(sample_ray_points(o, d, 2.0, 6.0, n_sample), L)
+    want = model.apply({"params": params}, x)
+
+    got = r2l_forward_fused(params, o, d, 2.0, 6.0, n_sample, L,
+                            tile_b=16, dtype=jnp.float32, interpret=True,
+                            use_global_residual=use_global_residual)
+    assert got.shape == (B, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
