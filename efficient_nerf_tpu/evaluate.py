@@ -1,0 +1,106 @@
+"""Evaluation: render poses, compute PSNR/SSIM/LPIPS/FLIP, dump artifacts.
+
+render_path parity (reference main.py:189-398): per-pose rendering for both
+model families, per-frame PSNR/SSIM + error maps + PNG dumps, then batch
+LPIPS (minibatch 8, inputs rescaled to [-1, 1]) and FLIP at the 3840-px
+monitor ppd. LPIPS is weight-file gated (metrics/lpips.py); when weights are
+absent the field is reported as NaN rather than crashing (the reference
+hard-requires the pip package).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import (default_pixels_per_degree, flip, img2mse, lpips,
+                      lpips_available, mse2psnr, ssim)
+from .render.r2l_renderer import r2l_render_image
+from .render.renderer import RenderConfig, render_image
+from .utils.images import save_image
+
+__all__ = ["render_path", "RenderPathResult"]
+
+
+def _rescale(x, ymin, ymax):
+    return (ymax - ymin) / (x.max() - x.min() + 1e-12) * (x - x.min()) + ymin
+
+
+def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
+                model_name: str, n_sample_per_ray: int = 16,
+                multires: int = 10, plucker: bool = False,
+                gt_imgs: Optional[np.ndarray] = None,
+                savedir: Optional[str] = None, render_factor: float = 0,
+                log=print) -> Dict:
+    """Render every pose; return {'rgbs': [N,H,W,3], metrics...}."""
+    H, W, focal = hwf
+    if render_factor:
+        H, W = int(H / render_factor), int(W / render_factor)
+        focal = focal / render_factor
+
+    model, params = bundle.model, bundle.params
+    cfg: RenderConfig = bundle.cfg_test
+    rgbs, psnrs, ssims, errors = [], [], [], []
+    frame_times = []
+
+    for i, c2w in enumerate(poses):
+        t0 = time.time()
+        c2w = jnp.asarray(np.asarray(c2w)[:3, :4])
+        if model_name == "nerf":
+            res = render_image(model, params["coarse"], params.get("fine"),
+                               H, W, focal, c2w, cfg)
+            rgb = res.rgb
+        else:
+            rgb = r2l_render_image(model, params, c2w, H, W, focal,
+                                   cfg.near, cfg.far, n_sample_per_ray,
+                                   L=multires, plucker=plucker)
+        rgb = np.asarray(jax.device_get(rgb))
+        frame_times.append(time.time() - t0)
+        rgbs.append(rgb)
+
+        if gt_imgs is not None:
+            gt = np.asarray(gt_imgs[i])[:H, :W, :3]
+            err = np.abs(rgb - gt)
+            errors.append(err)
+            psnrs.append(float(mse2psnr(jnp.asarray(np.mean(err ** 2)))))
+            ssims.append(float(ssim(jnp.asarray(rgb)[None],
+                                    jnp.asarray(gt)[None])))
+        if savedir is not None:
+            os.makedirs(savedir, exist_ok=True)
+            save_image(os.path.join(savedir, f"{i:03d}.png"), rgb)
+            if gt_imgs is not None:
+                save_image(os.path.join(savedir, f"{i:03d}_gt.png"),
+                           np.asarray(gt_imgs[i]))
+                save_image(os.path.join(savedir, f"{i:03d}_error.png"),
+                           errors[-1])
+        log(f"[#{i}] frame rendered in {frame_times[-1]:.3f}s")
+
+    out: Dict = {"rgbs": np.stack(rgbs, 0), "frame_times": frame_times}
+    if gt_imgs is not None:
+        gt = np.asarray(gt_imgs)[:, :H, :W, :3]
+        rec = jnp.asarray(out["rgbs"])
+        ref = jnp.asarray(gt)
+        test_loss = float(img2mse(rec, ref))
+        out["test_loss"] = test_loss
+        out["test_psnr"] = float(mse2psnr(jnp.asarray(test_loss)))
+        out["test_psnr_v2"] = float(np.mean(psnrs))
+        out["test_ssim"] = float(np.mean(ssims))
+        out["errors"] = np.stack(errors, 0)
+
+        # batch perceptual metrics at [-1, 1] (reference main.py:355-379)
+        rec_m = _rescale(rec, -1.0, 1.0)
+        ref_m = _rescale(ref, -1.0, 1.0)
+        if lpips_available():
+            vals = []
+            for s in range(0, rec_m.shape[0], 8):
+                vals.append(np.asarray(lpips(rec_m[s:s + 8], ref_m[s:s + 8])))
+            out["test_lpips"] = float(np.concatenate(vals).mean())
+        else:
+            out["test_lpips"] = float("nan")
+        out["test_flip"] = float(flip(ref_m * 0.5 + 0.5, rec_m * 0.5 + 0.5,
+                                      default_pixels_per_degree()))
+    return out

@@ -1,0 +1,553 @@
+"""Training / rendering / benchmark driver.
+
+CLI parity with the reference's main.py entry (modes: train,
+--render_only [--render_test], --benchmark, --convert_to_onnx (exports
+StableHLO instead of ONNX), --test_pretrained) for both model families
+(--model_name nerf | R2L), restructured TPU-first:
+
+  * one jitted train step per family (train/steps.py) — the lr schedule,
+    loss, adam update and hard-example pool all live on device;
+  * the input pipeline is either .npy ray shards (threaded prefetch), the
+    image-mode KD dataset, or --stream_pseudo_data (the on-device teacher
+    stream, no files at all);
+  * optional multi-chip data/tensor parallelism via --mesh_data/--mesh_model.
+
+Run: python -m efficient_nerf_tpu.main --config <scene.txt> [flags]
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from types import SimpleNamespace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.options import parse_args
+from .core.poses import spherical_render_poses
+from .core.rays import get_rays_np, ndc_rays
+from .data.blender import composite_white, load_blender_data
+from .data.deepvoxels import load_dv_data
+from .data.images_dataset import ImageFrameDataset, pseudo_ratio_schedule
+from .data.llff import load_llff_data
+from .data.rays_dataset import RayShardDataset, ShardLoader, infinite_indices
+from .evaluate import render_path
+from .factory import Bundle, create_models
+from .train.hard_mining import hard_pool_init
+from .train.steps import (TrainState, init_train_state, make_r2l_train_step,
+                          make_teacher_train_step)
+from .train.checkpoints import save_checkpoint
+from .utils.images import save_video
+from .utils.logging import Logger
+from .utils.meters import AverageMeter, LossLine, Timer
+
+__all__ = ["train", "main", "load_scene"]
+
+
+def load_scene(args):
+    """Load the dataset named by args; returns a SimpleNamespace with
+    images/poses/render_poses/hwf/splits/near/far (reference
+    main.py:888-954)."""
+    if args.dataset_type == "llff":
+        d = load_llff_data(args.datadir, args.factor, recenter=True,
+                           bd_factor=0.75, spherify=args.spherify,
+                           n_pose_video=args.n_pose_video
+                           if isinstance(args.n_pose_video, int) else 120)
+        hwf = d.poses[0, :3, -1]
+        poses = d.poses[:, :3, :4]
+        i_test = (np.arange(d.images.shape[0])[::args.llffhold]
+                  if args.llffhold > 0 else np.array([d.i_test]))
+        i_val = i_test
+        i_train = np.array([i for i in range(d.images.shape[0])
+                            if i not in i_test])
+        if args.no_ndc:
+            near, far = float(d.bds.min()) * 0.9, float(d.bds.max())
+        else:
+            near, far = 0.0, 1.0
+        images, poses_all, render_poses = d.images, poses, d.render_poses
+    elif args.dataset_type == "blender":
+        n_pose = args.n_pose_video if isinstance(args.n_pose_video, int) else 40
+        d = load_blender_data(args.datadir, args.half_res, args.testskip,
+                              n_pose=n_pose)
+        images = composite_white(d.images, args.white_bkgd)
+        poses_all = d.poses[:, :3, :4]
+        render_poses = d.render_poses
+        hwf = d.hwf
+        i_train, i_val, i_test = d.splits
+        near, far = 2.0, 6.0
+    elif args.dataset_type == "deepvoxels":
+        d = load_dv_data(scene=args.shape, basedir=args.datadir,
+                         testskip=args.testskip)
+        images, poses_all, render_poses = d.images, d.poses, d.render_poses
+        hwf = d.hwf
+        i_train, i_val, i_test = d.splits
+        hemi_r = float(np.mean(np.linalg.norm(poses_all[:, :3, -1], axis=-1)))
+        near, far = hemi_r - 1.0, hemi_r + 1.0
+    else:
+        raise ValueError(f"unknown dataset_type {args.dataset_type}")
+
+    if getattr(args.trial, "ON", False) and args.trial.near > 0:
+        near, far = args.trial.near, args.trial.far
+
+    H, W, focal = hwf
+    H, W, focal = int(H), int(W), float(focal)
+    if args.focal_scale > 0:
+        focal *= args.focal_scale
+    return SimpleNamespace(images=np.asarray(images),
+                           poses=np.asarray(poses_all),
+                           render_poses=np.asarray(render_poses),
+                           hwf=(H, W, focal),
+                           i_train=np.asarray(i_train),
+                           i_val=np.asarray(i_val),
+                           i_test=np.asarray(i_test),
+                           near=near, far=far)
+
+
+def _eval_bundle(bundle: Bundle, params) -> Bundle:
+    return bundle._replace(params=params)
+
+
+def _select_coords(rng, H, W, n_rand, mode, precrop_frac=None):
+    """Pixel-coordinate sampling (reference get_selected_coords +
+    precrop, main.py:1264-1302)."""
+    if precrop_frac is not None:
+        dH, dW = int(H // 2 * precrop_frac), int(W // 2 * precrop_frac)
+        ys = np.arange(H // 2 - dH, H // 2 + dH)
+        xs = np.arange(W // 2 - dW, W // 2 + dW)
+        grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
+        sel = grid[rng.choice(len(grid), size=n_rand, replace=False)]
+        return sel
+    if mode == "rand_patch":
+        k = math.sqrt(float(n_rand) / H / W)
+        ph, pw = int(H * k), int(W * k)
+        y0 = rng.integers(0, H - ph)
+        x0 = rng.integers(0, W - pw)
+        ys, xs = np.meshgrid(np.arange(y0, y0 + ph), np.arange(x0, x0 + pw),
+                             indexing="ij")
+        return np.stack([ys, xs], -1).reshape(-1, 2)
+    idx = rng.choice(H * W, size=n_rand, replace=False)
+    return np.stack([idx // W, idx % W], -1)
+
+
+def _export_stablehlo(bundle: Bundle, args, logger):
+    """--convert_to_onnx parity: export the student forward as StableHLO
+    (the portable deployment format on the JAX stack; onnx does not apply)."""
+    from .core.encoding import ray_embed
+
+    model = bundle.model
+    B = 256 * 256
+
+    def fwd(params, x):
+        return model.apply({"params": params}, x)
+
+    exported = jax.export.export(jax.jit(fwd))(
+        bundle.params, jax.ShapeDtypeStruct((B, bundle.input_dim), jnp.float32))
+    path = os.path.join(logger.weights_path, "model.stablehlo.mlir")
+    with open(path, "w") as f:
+        f.write(exported.mlir_module())
+    # oracle check: the exported artifact must reproduce the forward
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(B, bundle.input_dim)).astype(np.float32)) * 0.1
+    got = exported.call(bundle.params, x)
+    want = fwd(bundle.params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-5)
+    logger.info(f"Exported + verified StableHLO at {path}")
+    return path
+
+
+def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None):
+    logger = logger or Logger(args, basedir=args.basedir)
+    log = logger.info
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    scene = load_scene(args)
+    H, W, focal = scene.hwf
+    near, far = scene.near, scene.far
+    log(f"Loaded {args.dataset_type}: images {scene.images.shape} "
+        f"hwf {scene.hwf} near/far {near}/{far}")
+
+    bundle = create_models(args, near, far)
+    log(f"Created model {args.model_name}: params {bundle.n_params / 1e6:.3f}M "
+        f"FLOPs/pixel {bundle.flops_per_pixel / 1e6:.3f}M")
+
+    test_poses = scene.poses[scene.i_test]
+    test_images = scene.images[scene.i_test]
+    if args.dataset_type == "blender":
+        from .core.poses import novel_pose_grid
+        video_poses = novel_pose_grid(args.n_pose_video or 40)
+    else:
+        video_poses = scene.render_poses
+
+    rp_kwargs = dict(model_name="nerf" if args.model_name == "nerf" else "r2l",
+                     n_sample_per_ray=args.n_sample_per_ray,
+                     multires=args.multires, plucker=args.plucker,
+                     render_factor=args.render_factor, log=log)
+
+    # ---- non-training modes -------------------------------------------------
+    if args.test_pretrained:
+        misc = render_path(bundle, test_poses, scene.hwf,
+                           gt_imgs=test_images, **rp_kwargs)
+        log(f"Pretrained test: TestLoss {misc['test_loss']:.4f} "
+            f"TestPSNR {misc['test_psnr']:.4f} "
+            f"TestPSNRv2 {misc['test_psnr_v2']:.4f}")
+
+    if args.render_only:
+        t0 = time.time()
+        if args.render_test:
+            misc = render_path(bundle, test_poses, scene.hwf,
+                               gt_imgs=test_images,
+                               savedir=logger.gen_img_path, **rp_kwargs)
+            log(f"[TEST] PSNR {misc['test_psnr']:.4f} "
+                f"PSNRv2 {misc['test_psnr_v2']:.4f} "
+                f"SSIM {misc['test_ssim']:.4f} "
+                f"LPIPS {misc['test_lpips']:.4f} FLIP {misc['test_flip']:.4f}")
+        else:
+            misc = render_path(bundle, video_poses, scene.hwf, **rp_kwargs)
+        video_path = os.path.join(
+            logger.gen_img_path,
+            f"video_{logger.ExpID}_{args.video_tag}.mp4")
+        save_video(video_path, misc["rgbs"])
+        log(f"Saved video {video_path} (total {time.time() - t0:.1f}s)")
+        return misc
+
+    if args.convert_to_onnx:
+        return _export_stablehlo(bundle, args, logger)
+
+    if args.benchmark:
+        from .render.r2l_renderer import r2l_render_image
+        c2w = jnp.asarray(video_poses[0][:3, :4])
+        r2l_render_image(bundle.model, bundle.params, c2w, H, W, focal,
+                         near, far, args.n_sample_per_ray)  # compile
+        reps = []
+        for _ in range(10):
+            t0 = time.time()
+            out = r2l_render_image(bundle.model, bundle.params, c2w, H, W,
+                                   focal, near, far, args.n_sample_per_ray)
+            np.asarray(out[:1, :1])  # completion barrier
+            reps.append(time.time() - t0)
+        med = sorted(reps)[len(reps) // 2]
+        log(f"[BENCH] frame {med * 1e3:.2f}ms  {H * W / med / 1e6:.2f}M rays/s")
+        return med
+
+    # ---- training -----------------------------------------------------------
+    n_iters = max_iters or args.N_iters
+    start = bundle.history["start"]
+    best_psnr = bundle.history["best_psnr"]
+    best_psnr_step = bundle.history["best_psnr_step"]
+
+    if args.model_name == "nerf":
+        return _train_nerf(args, logger, scene, bundle, n_iters, start,
+                           best_psnr, best_psnr_step, rng, key, rp_kwargs,
+                           test_poses, test_images, video_poses)
+    return _train_r2l(args, logger, scene, bundle, n_iters, start,
+                      best_psnr, best_psnr_step, rng, key, rp_kwargs,
+                      test_poses, test_images, video_poses)
+
+
+def _model_config(args) -> dict:
+    """Arch metadata stored in checkpoints so tools (e.g. the streaming
+    teacher loader) can rebuild the model without the original flags —
+    the functional analog of the reference pickling the whole nn.Module
+    (main.py:1534-1536)."""
+    return {
+        "model_name": args.model_name,
+        "netdepth": args.netdepth, "netwidth": args.netwidth,
+        "netdepth_fine": args.netdepth_fine,
+        "netwidth_fine": args.netwidth_fine,
+        "use_viewdirs": bool(args.use_viewdirs),
+        "multires": args.multires, "multires_views": args.multires_views,
+        "N_samples": args.N_samples, "N_importance": args.N_importance,
+        "n_sample_per_ray": args.n_sample_per_ray,
+        "skips": str(args.skips),
+        "use_residual": bool(args.use_residual),
+        "linear_tail": bool(args.linear_tail),
+        "white_bkgd": bool(args.white_bkgd),
+    }
+
+
+def _periodic(args, logger, bundle, params, opt_state, step, hist_psnr,
+              best_psnr, best_psnr_step, rp_kwargs, test_poses, test_images,
+              video_poses, scene, timer):
+    """i_testset / i_video / i_weights handling; returns updated best_psnr."""
+    log = logger.info
+    if step % args.i_testset == 0:
+        testsavedir = os.path.join(logger.gen_img_path,
+                                   f"testset_{logger.ExpID}_iter{step}")
+        misc = render_path(_eval_bundle(bundle, params), test_poses,
+                           scene.hwf, gt_imgs=test_images,
+                           savedir=testsavedir, **rp_kwargs)
+        if misc["test_psnr_v2"] > best_psnr:
+            best_psnr = misc["test_psnr_v2"]
+            best_psnr_step = step
+            save_checkpoint(os.path.join(logger.weights_path, "ckpt_best.msgpack"),
+                            params, opt_state, step, best_psnr,
+                            best_psnr_step, model_config=_model_config(args))
+        log(f"[TEST] Iter {step} TestPSNR {misc['test_psnr']:.4f} "
+            f"TestPSNRv2 {misc['test_psnr_v2']:.4f} "
+            f"BestPSNRv2 {best_psnr:.4f} (Iter {best_psnr_step}) "
+            f"TestSSIM {misc['test_ssim']:.4f} TestFLIP {misc['test_flip']:.4f} "
+            f"TrainHistPSNR {hist_psnr:.4f}")
+        log(f"Predicted finish time: {timer()}")
+    if step % args.i_video == 0:
+        misc = render_path(_eval_bundle(bundle, params), video_poses,
+                           scene.hwf, **rp_kwargs)
+        vp = os.path.join(logger.gen_img_path,
+                          f"video_{logger.ExpID}_iter{step}_{args.video_tag}.mp4")
+        save_video(vp, misc["rgbs"])
+        log(f"[VIDEO] saved {vp}")
+    if step % args.i_weights == 0:
+        name = (f"ckpt_{step}.msgpack" if args.save_intermediate_models
+                else "ckpt.msgpack")
+        path = save_checkpoint(os.path.join(logger.weights_path, name),
+                               params, opt_state, step, best_psnr,
+                               best_psnr_step,
+                               model_config=_model_config(args))
+        log(f"Iter {step} saved checkpoint {path}")
+    return best_psnr, best_psnr_step
+
+
+def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
+                best_psnr_step, rng, key, rp_kwargs, test_poses, test_images,
+                video_poses):
+    log = logger.info
+    H, W, focal = scene.hwf
+    step_fn = make_teacher_train_step(bundle.model, bundle.optimizer,
+                                      bundle.cfg_train, donate=False)
+    state = init_train_state(bundle.params, bundle.optimizer)
+    if bundle.restored_opt_state is not None:
+        state = state._replace(opt_state=bundle.restored_opt_state)
+    state = state._replace(step=jnp.asarray(start, jnp.int32))
+
+    use_batching = not args.no_batching
+    if use_batching:
+        # pre-shuffled rays over all train images (reference main.py:1135-1162)
+        rays = np.stack([np.stack(get_rays_np(H, W, focal, p), 0)
+                         for p in scene.poses[scene.i_train]], 0)
+        rgb = scene.images[scene.i_train][:, None]
+        rays_rgb = np.concatenate([rays, rgb], 1)       # [N, 3, H, W, 3]
+        rays_rgb = rays_rgb.transpose(0, 2, 3, 1, 4).reshape(-1, 3, 3)
+        rng.shuffle(rays_rgb)
+        i_batch = 0
+
+    timer = Timer(max(1, (n_iters - start) // args.i_testset))
+    batch_time = AverageMeter("batch", ":.4f")
+    hist_psnr = 0.0
+    for i in range(start + 1, n_iters + 1):
+        t0 = time.time()
+        if use_batching:
+            batch = rays_rgb[i_batch:i_batch + args.N_rand]
+            i_batch += args.N_rand
+            if i_batch >= rays_rgb.shape[0]:
+                rng.shuffle(rays_rgb)
+                i_batch = 0
+            rays_o, rays_d, target = batch[:, 0], batch[:, 1], batch[:, 2]
+        else:
+            img_i = int(rng.choice(scene.i_train))
+            pose = scene.poses[img_i]
+            ro_full, rd_full = get_rays_np(H, W, focal, pose)
+            precrop = args.precrop_frac if i < args.precrop_iters else None
+            sel = _select_coords(rng, H, W, args.N_rand,
+                                 args.select_pixel_mode, precrop)
+            rays_o = ro_full[sel[:, 0], sel[:, 1]]
+            rays_d = rd_full[sel[:, 0], sel[:, 1]]
+            target = scene.images[img_i][sel[:, 0], sel[:, 1]]
+            if bundle.cfg_train.ndc:
+                o, d = ndc_rays(H, W, focal, 1.0, jnp.asarray(rays_o),
+                                jnp.asarray(rays_d))
+                rays_o, rays_d = np.asarray(o), np.asarray(d)
+
+        state, metrics = step_fn(state, jax.random.fold_in(key, i),
+                                 jnp.asarray(rays_o, jnp.float32),
+                                 jnp.asarray(rays_d, jnp.float32),
+                                 jnp.asarray(target[..., :3], jnp.float32))
+        batch_time.update(time.time() - t0)
+        psnr = float(metrics["psnr"])
+        hist_psnr = psnr if i == start + 1 else hist_psnr * 0.95 + psnr * 0.05
+
+        if i % args.i_print == 0:
+            ll = LossLine()
+            ll.update("loss", float(metrics["loss"]), ".6f")
+            ll.update("psnr", psnr, ".4f")
+            ll.update("hist_psnr", hist_psnr, ".4f")
+            log(f"[TRAIN] Iter {i} {batch_time} " + ll.format())
+
+        best_psnr, best_psnr_step = _periodic(
+            args, logger, bundle, state.params, state.opt_state, i, hist_psnr,
+            best_psnr, best_psnr_step, rp_kwargs, test_poses, test_images,
+            video_poses, scene, timer)
+    return state
+
+
+def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
+    """Returns (next_batch() -> (o, d, target), reload(step) -> None)."""
+    H, W, focal = scene.hwf
+    log = logger.info
+
+    if args.stream_pseudo_data:
+        if not args.teacher_ckpt:
+            raise ValueError("--stream_pseudo_data requires --teacher_ckpt")
+        from .data.pseudo import StreamingPseudoGenerator
+        from .factory import create_models
+        targs = SimpleNamespace(**vars(args))
+        targs.model_name = "nerf"
+        targs.pretrained_ckpt = args.teacher_ckpt
+        targs.resume = False
+        # rebuild the teacher with the arch recorded in its checkpoint
+        try:
+            from .train.checkpoints import load_checkpoint
+            meta, _, _ = load_checkpoint(args.teacher_ckpt)
+            for k, v in (meta.get("model_config") or {}).items():
+                if k != "model_name" and hasattr(targs, k):
+                    setattr(targs, k, v)
+        except ValueError:
+            pass  # reference .tar: caller must pass matching arch flags
+        teacher = create_models(targs, scene.near, scene.far)
+        gen = StreamingPseudoGenerator(
+            teacher.model, teacher.params["coarse"],
+            teacher.params.get("fine"), teacher.cfg_test, H, W, focal,
+            batch_rays=args.N_rand * 4096,
+            use_rand_focal=args.use_rand_focal,
+            learn_depth=args.learn_depth, rng=rng)
+        log("Streaming pseudo data from on-device teacher")
+        return (lambda: next(gen)), (lambda step: None)
+
+    datadir_kd = args.datadir_kd.split(":")[-1]
+    if args.data_mode == "rays":
+        holder = {}
+
+        def build():
+            ds = RayShardDataset(datadir_kd,
+                                 hold_ratio=args.pseudo_data_hold_ratio,
+                                 pseudo_ratio=args.pseudo_ratio, rng=rng)
+            if "loader" in holder:
+                holder["loader"].close()
+            holder["loader"] = ShardLoader(ds, args.N_rand, rng=rng,
+                                           num_threads=args.num_workers and 2)
+            log(f"Loaded shard dataset: {len(ds)} files "
+                f"({ds.n_original} real / {ds.n_pseudo} pseudo)")
+
+        build()
+
+        def reload(step):
+            if step % args.i_update_data == 0:
+                build()
+
+        return (lambda: next(holder["loader"])), reload
+
+    # images mode: sample pixels from random (real or pseudo) frames
+    holder = {}
+
+    def build(pr=0.5):
+        holder["ds"] = ImageFrameDataset(datadir_kd, pseudo_ratio=pr, rng=rng)
+        holder["it"] = infinite_indices(len(holder["ds"]), rng)
+        log(f"Loaded image dataset: {len(holder['ds'])} frames")
+
+    build(args.pseudo_ratio if args.pseudo_ratio >= 0 else 0.5)
+
+    def next_batch():
+        img, pose, _ = holder["ds"][next(holder["it"])]
+        ro, rd = get_rays_np(img.shape[0], img.shape[1], focal, pose[:3, :4])
+        sel = _select_coords(rng, img.shape[0], img.shape[1],
+                             args.N_rand * 4096 // max(1, args.N_rand),
+                             args.select_pixel_mode)
+        return (ro[sel[:, 0], sel[:, 1]], rd[sel[:, 0], sel[:, 1]],
+                img[sel[:, 0], sel[:, 1]][..., :3])
+
+    def reload(step):
+        if args.pseudo_ratio_schedule and step % args.i_update_data == 0:
+            build(pseudo_ratio_schedule(args.pseudo_ratio_schedule, step))
+
+    return next_batch, reload
+
+
+def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
+               best_psnr_step, rng, key, rp_kwargs, test_poses, test_images,
+               video_poses):
+    log = logger.info
+    next_batch, reload = _make_r2l_data_iterator(args, scene, bundle, rng,
+                                                 logger)
+
+    # hard mining config (reference main.py:1324-1337)
+    hard = None
+    pool = hard_pool_init(1)
+    probe = next_batch()
+    batch_size = probe[0].shape[0]
+    if args.hard_ratio:
+        if isinstance(args.hard_ratio, list):
+            n_hard_in = int(args.hard_ratio[0] * batch_size)
+            n_hard_out = int(args.hard_ratio[1] * batch_size)
+        else:
+            n_hard_in = n_hard_out = int(args.hard_ratio * batch_size)
+        n_hard_in = min(n_hard_in, n_hard_out)
+        hard = (n_hard_in, n_hard_out)
+        pool = hard_pool_init(int(batch_size * args.hard_mul),
+                              row_dim=3 + 3 + probe[2].shape[-1])
+
+    step_fn = make_r2l_train_step(
+        bundle.model, bundle.optimizer, near=scene.near, far=scene.far,
+        n_sample=args.n_sample_per_ray, L=args.multires,
+        perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
+        learn_depth=bool(args.learn_depth), lw_depth=args.lw_depth,
+        plucker=args.plucker, hard=hard, donate=False)
+    state = init_train_state(bundle.params, bundle.optimizer)
+    if bundle.restored_opt_state is not None:
+        state = state._replace(opt_state=bundle.restored_opt_state)
+    state = state._replace(step=jnp.asarray(start, jnp.int32))
+
+    timer = Timer(max(1, (n_iters - start) // args.i_testset))
+    batch_time = AverageMeter("batch", ":.4f")
+    data_time = AverageMeter("data", ":.4f")
+    hist_psnr = hist_depth = 0.0
+    batch = probe
+    for i in range(start + 1, n_iters + 1):
+        t0 = time.time()
+        reload(i)
+        o, d, t = batch
+        data_time.update(time.time() - t0)
+        state, pool, metrics = step_fn(
+            state, pool, jax.random.fold_in(key, i),
+            jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+            jnp.asarray(t, jnp.float32))
+        batch = next_batch() if i < n_iters else batch
+        batch_time.update(time.time() - t0)
+
+        psnr = float(metrics["psnr"])
+        if math.isfinite(psnr):
+            hist_psnr = (psnr if i == start + 1
+                         else hist_psnr * 0.95 + psnr * 0.05)
+        if args.learn_depth:
+            ld = float(metrics["loss_depth"])
+            hist_depth = (ld if i == start + 1
+                          else hist_depth * 0.95 + ld * 0.05)
+
+        if i % args.i_print == 0:
+            ll = LossLine()
+            ll.update("psnr", psnr, ".4f")
+            ll.update("hist_psnr", hist_psnr, ".4f")
+            if args.learn_depth:
+                ll.update(f"hist_depthloss (*{args.lw_depth})", hist_depth,
+                          ".4f")
+            log(f"[TRAIN] Iter {i} {data_time} {batch_time} " + ll.format())
+
+        best_psnr, best_psnr_step = _periodic(
+            args, logger, bundle, state.params, state.opt_state, i, hist_psnr,
+            best_psnr, best_psnr_step, rp_kwargs, test_poses, test_images,
+            video_poses, scene, timer)
+    return state
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.no_pallas:
+        os.environ["EFFICIENT_NERF_TPU_NO_PALLAS"] = "1"
+    logger = Logger(args, basedir=args.basedir)
+    return train(args, logger)
+
+
+if __name__ == "__main__":
+    main()

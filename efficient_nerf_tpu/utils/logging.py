@@ -1,0 +1,75 @@
+"""Experiment management + logging.
+
+Replaces the external smilelogging package the reference depends on
+(Logger(args) with ExpID, Experiments/<project>_<ExpID>/{weights,gen_img,log}
+directory layout, console+file logging, args/config snapshot; call sites
+main.py:32-33, 962-971).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import socket
+import sys
+import time
+from typing import Optional
+
+__all__ = ["Logger"]
+
+
+class Logger:
+    """Experiment directory + dual console/file logger.
+
+    Directory layout (parity with smilelogging):
+        <basedir>/Experiments/<project>_<ExpID>/
+            weights/   checkpoints
+            gen_img/   rendered images & videos
+            log/       log.txt, args snapshot
+    """
+
+    def __init__(self, args=None, project: Optional[str] = None,
+                 basedir: str = ".", debug: bool = False):
+        project = (project or getattr(args, "project", None)
+                   or getattr(args, "expname", None) or "exp")
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        host = socket.gethostname().split(".")[0]
+        self.ExpID = f"SERVER{host}-{ts}"
+        root = os.path.join(basedir, "Experiments",
+                            f"{project}_{self.ExpID}" if not debug
+                            else f"{project}_DEBUG")
+        self.exp_path = root
+        self.weights_path = os.path.join(root, "weights")
+        self.gen_img_path = os.path.join(root, "gen_img")
+        self.log_path = os.path.join(root, "log")
+        for d in (self.weights_path, self.gen_img_path, self.log_path):
+            os.makedirs(d, exist_ok=True)
+
+        self._logger = logging.getLogger(f"entpu.{self.ExpID}")
+        self._logger.setLevel(logging.INFO)
+        self._logger.handlers.clear()
+        fmt = logging.Formatter("[%(asctime)s] %(message)s",
+                                datefmt="%m/%d %H:%M:%S")
+        fh = logging.FileHandler(os.path.join(self.log_path, "log.txt"))
+        fh.setFormatter(fmt)
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        self._logger.addHandler(fh)
+        self._logger.addHandler(sh)
+        self._logger.propagate = False
+
+        if args is not None:
+            self.save_args(args)
+
+    def info(self, *msg, unprefix: bool = False, acc: bool = False):
+        text = " ".join(str(m) for m in msg)
+        self._logger.info(text)
+
+    def save_args(self, args):
+        path = os.path.join(self.log_path, "args.txt")
+        with open(path, "w") as f:
+            for k in sorted(vars(args)):
+                f.write(f"{k} = {getattr(args, k)}\n")
+        cfg = getattr(args, "config", None)
+        if cfg and os.path.exists(cfg):
+            with open(os.path.join(self.log_path, "config.txt"), "w") as f:
+                f.write(open(cfg).read())

@@ -1,0 +1,89 @@
+"""create_data driver tests on the miniature scene."""
+import json
+import os
+
+import numpy as np
+
+from efficient_nerf_tpu.config.options import parse_args
+from efficient_nerf_tpu.create_data import create_data
+from efficient_nerf_tpu.main import train
+from efficient_nerf_tpu.utils.logging import Logger
+
+
+def _teacher_ckpt(blender_dir, tmp_path):
+    args = parse_args([
+        "--datadir", blender_dir, "--dataset_type", "blender",
+        "--basedir", str(tmp_path / "logs"), "--expname", "teacher",
+        "--model_name", "nerf", "--use_viewdirs", "--white_bkgd",
+        "--N_samples", "4", "--N_importance", "4",
+        "--netdepth", "2", "--netwidth", "16",
+        "--netdepth_fine", "2", "--netwidth_fine", "16",
+        "--N_rand", "16", "--chunk", "64", "--testskip", "1",
+        "--i_weights", "1", "--i_video", "1000000",
+        "--i_testset", "1000000",
+    ])
+    logger = Logger(args, basedir=args.basedir)
+    train(args, logger, max_iters=1)
+    return os.path.join(logger.weights_path, "ckpt.msgpack")
+
+
+def _cd_args(blender_dir, tmp_path, ckpt, mode, kd_dir, extra=()):
+    return parse_args([
+        "--datadir", blender_dir, "--dataset_type", "blender",
+        "--basedir", str(tmp_path / "logs"), "--expname", "cd",
+        "--model_name", "nerf", "--use_viewdirs", "--white_bkgd",
+        "--N_samples", "4", "--N_importance", "4",
+        "--netdepth", "2", "--netwidth", "16",
+        "--netdepth_fine", "2", "--netwidth_fine", "16",
+        "--chunk", "4096", "--testskip", "1",
+        "--teacher_ckpt", ckpt,
+        "--create_data", mode,
+        "--datadir_kd", f"blender:{kd_dir}",
+        "--n_pose_kd", "2", "--create_data_chunk", "1",
+        *extra,
+    ])
+
+
+def test_create_data_rand_and_teacher_test(blender_dir, tmp_path):
+    ckpt = _teacher_ckpt(blender_dir, tmp_path)
+    kd = str(tmp_path / "kd_rand")
+    # the mini scene is 8x8 = 64 rays/frame -> <4096 rows, so no full shard;
+    # verify the mode runs + teacher self-test path
+    args = _cd_args(blender_dir, tmp_path, ckpt, "rand", kd,
+                    ["--test_teacher"])
+    n = create_data(args, Logger(args, basedir=args.basedir))
+    assert n == 0  # too few rays for a full 4096 shard, but ran end-to-end
+    assert os.path.isdir(kd)
+
+
+def test_create_data_images_modes(blender_dir, tmp_path):
+    ckpt = _teacher_ckpt(blender_dir, tmp_path)
+    kd = str(tmp_path / "kd_imgs")
+    args = _cd_args(blender_dir, tmp_path, ckpt, "spiral_evenly_spaced", kd)
+    n = create_data(args, Logger(args, basedir=args.basedir))
+    assert n == 2
+    meta = json.load(open(os.path.join(kd, "transforms_train.json")))
+    # 3 original + 2 pseudo frames
+    assert len(meta["frames"]) == 5
+    pseudo = [f for f in meta["frames"] if "pseudo" in f["file_path"]]
+    assert len(pseudo) == 2
+    img = np.load(os.path.join(kd, pseudo[0]["file_path"] + ".npy"))
+    assert img.shape == (8, 8, 3) and np.isfinite(img).all()
+
+    # rand_images appends more
+    args2 = _cd_args(blender_dir, tmp_path, ckpt, "rand_images", kd)
+    create_data(args2, Logger(args2, basedir=args2.basedir))
+    meta = json.load(open(os.path.join(kd, "transforms_train.json")))
+    assert len(meta["frames"]) == 7
+
+
+def test_create_data_patch_modes(blender_dir, tmp_path):
+    ckpt = _teacher_ckpt(blender_dir, tmp_path)
+    for mode, shape in [("rand_tworays", (1, 2)), ("3x3rays", (3, 3))]:
+        kd = str(tmp_path / f"kd_{mode}")
+        args = _cd_args(blender_dir, tmp_path, ckpt, mode, kd,
+                        ["--patch_items_per_shard", "8"])
+        n = create_data(args, Logger(args, basedir=args.basedir))
+        assert n >= 1
+        d = np.load(os.path.join(kd, "data_1.npy"))
+        assert d.shape[1:] == shape + (9,)

@@ -17,28 +17,6 @@ from efficient_nerf_tpu.models import NeRFMLP
 from efficient_nerf_tpu.render import RenderConfig
 
 
-@pytest.fixture
-def blender_dir(tmp_path):
-    """Miniature blender-format scene: 3 train + 2 val + 2 test 8x8 frames."""
-    import imageio.v2 as imageio
-
-    rng = np.random.default_rng(0)
-    base = tmp_path / "scene"
-    for split, n in [("train", 3), ("val", 2), ("test", 2)]:
-        frames = []
-        os.makedirs(base / split, exist_ok=True)
-        for i in range(n):
-            img = (rng.uniform(size=(8, 8, 4)) * 255).astype(np.uint8)
-            imageio.imwrite(base / split / f"r_{i}.png", img)
-            pose = pose_spherical(30.0 * i, -30.0, 4.0)
-            frames.append({"file_path": f"./{split}/r_{i}",
-                           "transform_matrix": pose.tolist()})
-        meta = {"camera_angle_x": 0.69, "frames": frames}
-        with open(base / f"transforms_{split}.json", "w") as f:
-            json.dump(meta, f)
-    return str(base)
-
-
 def test_load_blender(blender_dir):
     data = load_blender_data(blender_dir, half_res=False, testskip=1)
     assert data.images.shape == (7, 8, 8, 4)
