@@ -88,11 +88,24 @@ class ShardLoader:
 
     def __init__(self, dataset: RayShardDataset, shards_per_batch: int,
                  rng: Optional[np.random.Generator] = None,
-                 prefetch: int = 2, num_threads: int = 2):
+                 prefetch: int = 2, num_threads: int = 2,
+                 use_native: bool = True):
         self.ds = dataset
         self.k = shards_per_batch
         self.rng = rng or np.random.default_rng()
         self._indices = infinite_indices(len(dataset), self.rng)
+        self._native = None
+        if use_native and len(dataset):
+            try:
+                from .native import NativeShardReader, native_available
+
+                if native_available():
+                    probe = dataset.load(0)
+                    self._native = NativeShardReader(
+                        dataset.files, rows=probe.shape[0],
+                        cols=probe.shape[-1])
+            except Exception:
+                self._native = None
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -110,8 +123,11 @@ class ShardLoader:
     def _worker(self):
         while not self._stop.is_set():
             idxs = self._next_batch_indices()
-            parts = [self.ds.load(i) for i in idxs]
-            d = np.concatenate(parts, 0).astype(np.float32)
+            if self._native is not None:
+                d = self._native.load_batch(idxs)
+            else:
+                parts = [self.ds.load(i) for i in idxs]
+                d = np.concatenate(parts, 0).astype(np.float32)
             o, dirs, tgt = self.ds.split_columns(d)
             batch = (np.ascontiguousarray(o), np.ascontiguousarray(dirs),
                      np.ascontiguousarray(tgt))
