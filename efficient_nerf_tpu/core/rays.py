@@ -117,6 +117,28 @@ def translate_origin_fixed(rays_o, rays_d, scale: float):
     return rays_o + scale * rd
 
 
+def translate_origin_to_sphere(rays_o, rays_d, radius: float = 3.6):
+    """Slide each origin along its ray onto the |o'| = radius sphere.
+
+    Vectorized analytic version of the reference's per-ray python loop
+    (helpers.py:186-200, translate_origin_v2): solve
+    |o + t*u|^2 = r^2 for unit direction u and pick the root closest to the
+    camera (the reference's min-|root| / sign logic).
+    """
+    u = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    m2 = jnp.sum(rays_o * rays_o, axis=-1)
+    b = jnp.sum(rays_o * u, axis=-1)  # = -m*cos(theta) in the reference
+    disc = jnp.maximum(b * b - m2 + radius * radius, 0.0)
+    sq = jnp.sqrt(disc)
+    d1 = -b + sq
+    d2 = -b - sq
+    opposite = d1 * d2 < 0
+    min_abs = jnp.where(jnp.abs(d1) <= jnp.abs(d2), d1, d2)
+    t = jnp.where(opposite, jnp.maximum(d1, d2),
+                  jnp.sign(d1) * jnp.abs(min_abs))
+    return rays_o + t[..., None] * u
+
+
 def plucker_rays(rays_o, rays_d):
     """Plucker-coordinate ray representation [..., 6] = (d, o x d).
 

@@ -23,11 +23,31 @@ from .render.r2l_renderer import r2l_render_image
 from .render.renderer import RenderConfig, render_image
 from .utils.images import save_image
 
-__all__ = ["render_path", "RenderPathResult"]
+__all__ = ["render_path", "load_given_rays"]
 
 
 def _rescale(x, ymin, ymax):
     return (ymax - ymin) / (x.max() - x.min() + 1e-12) * (x - x.min()) + ymin
+
+
+def load_given_rays(path: str):
+    """Load a DONeRF-style given-render-path ray dump
+    (reference --given_render_path_rays, main.py:207-213): a dict with
+    all_rays_o [N, H*W, 3], all_rays_d [N, H*W, 3] and optional
+    gt_imgs [N, H, W, 3]. Accepts .npz or a torch .pt/.pth pickle."""
+    if path.endswith((".npz", ".npy")):
+        z = np.load(path, allow_pickle=True)
+        d = dict(z) if hasattr(z, "files") else z.item()
+    else:
+        import torch
+
+        loaded = torch.load(path, map_location="cpu", weights_only=False)
+        d = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+             for k, v in loaded.items()}
+    gt = d.get("gt_imgs")
+    return (np.asarray(d["all_rays_o"], np.float32),
+            np.asarray(d["all_rays_d"], np.float32),
+            None if gt is None else np.asarray(gt, np.float32))
 
 
 def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
@@ -35,8 +55,12 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
                 multires: int = 10, plucker: bool = False,
                 gt_imgs: Optional[np.ndarray] = None,
                 savedir: Optional[str] = None, render_factor: float = 0,
-                log=print) -> Dict:
-    """Render every pose; return {'rgbs': [N,H,W,3], metrics...}."""
+                given_rays=None, log=print) -> Dict:
+    """Render every pose; return {'rgbs': [N,H,W,3], metrics...}.
+
+    given_rays: optional (all_rays_o [N,HW,3], all_rays_d [N,HW,3]) — render
+    these exact rays instead of generating rays from `poses` (the DONeRF
+    eval path; R2L only)."""
     H, W, focal = hwf
     if render_factor:
         H, W = int(H / render_factor), int(W / render_factor)
@@ -47,14 +71,24 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
     rgbs, psnrs, ssims, errors = [], [], [], []
     frame_times = []
 
-    for i, c2w in enumerate(poses):
+    n_frames = len(poses) if given_rays is None else len(given_rays[0])
+    for i in range(n_frames):
         t0 = time.time()
-        c2w = jnp.asarray(np.asarray(c2w)[:3, :4])
-        if model_name == "nerf":
+        if given_rays is not None:
+            from .render.r2l_renderer import r2l_forward_rays
+
+            o = jnp.asarray(given_rays[0][i])
+            d = jnp.asarray(given_rays[1][i])
+            rgb = r2l_forward_rays(model, params, o, d, cfg.near, cfg.far,
+                                   n_sample_per_ray, L=multires)
+            rgb = rgb.reshape(H, W, -1)
+        elif model_name == "nerf":
+            c2w = jnp.asarray(np.asarray(poses[i])[:3, :4])
             res = render_image(model, params["coarse"], params.get("fine"),
                                H, W, focal, c2w, cfg)
             rgb = res.rgb
         else:
+            c2w = jnp.asarray(np.asarray(poses[i])[:3, :4])
             rgb = r2l_render_image(model, params, c2w, H, W, focal,
                                    cfg.near, cfg.far, n_sample_per_ray,
                                    L=multires, plucker=plucker)

@@ -94,6 +94,9 @@ def create_models(args, near: float, far: float, key=None) -> Bundle:
     warmup = parse_warmup(args.warmup_lr)
     schedule = make_lr_schedule(args.lrate, args.lrate_decay, warmup)
     optimizer = optax.adam(schedule, b1=0.9, b2=0.999)
+    if getattr(args, "freeze_pretrained", False):
+        # reference: frozen params are excluded from grad_vars (main.py:461)
+        optimizer = optax.set_to_zero()
 
     history = {"start": 0, "best_psnr": 0.0, "best_psnr_step": 0}
     restored_opt_state = None

@@ -187,6 +187,14 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
                      n_sample_per_ray=args.n_sample_per_ray,
                      multires=args.multires, plucker=args.plucker,
                      render_factor=args.render_factor, log=log)
+    if args.given_render_path_rays:
+        from .evaluate import load_given_rays
+        go, gd, ggt = load_given_rays(args.given_render_path_rays)
+        rp_kwargs["given_rays"] = (go, gd)
+        if ggt is not None:
+            test_images = ggt
+        log(f'Using given render-path rays: "{args.given_render_path_rays}" '
+            f'({len(go)} frames)')
 
     # ---- non-training modes -------------------------------------------------
     if args.test_pretrained:
