@@ -173,6 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--mesh_model", type=int, default=1,
         help="tensor-parallel mesh size")
     add("--no_pallas", type=_boolish, nargs="?", const=True, default=False)
+    add("--compute_dtype", type=str, default="f32", choices=["f32", "bf16"],
+        help="MXU computation dtype (params stay f32); bf16 ~4x matmul rate")
     add("--patch_items_per_shard", type=int, default=0,
         help="patch-mode shards: items per .npy file (0 = auto from 4096 rays)")
     add("--stream_pseudo_data", type=_boolish, nargs="?", const=True,

@@ -51,14 +51,21 @@ def render_config_from_args(args, near: float, far: float) -> RenderConfig:
     )
 
 
+def _compute_dtype(args):
+    return (jnp.bfloat16 if getattr(args, "compute_dtype", "f32") == "bf16"
+            else jnp.float32)
+
+
 def _r2l_from_args(args, input_dim: int) -> R2LNet:
     trial_on = getattr(args.trial, "ON", False)
     body_arch = args.trial.body_arch if trial_on else "mlp"
+    out_dim = {"": 3, "depth": 4, "surface": 6}[
+        getattr(args, "learn_depth", "") or ""]
     return R2LNet(
         input_dim=input_dim,
         depth=args.netdepth,
         width=args.netwidth,
-        output_dim=3,
+        output_dim=out_dim,
         n_block=args.trial.n_block if trial_on else -1,
         n_learnable=args.trial.n_learnable if trial_on else 2,
         body_arch=body_arch,
@@ -72,6 +79,7 @@ def _r2l_from_args(args, input_dim: int) -> R2LNet:
             int(x) for x in args.layerwise_netwidths.split(",")
         ) if args.layerwise_netwidths else (),
         remat_body=True,
+        dtype=_compute_dtype(args),
     )
 
 
@@ -109,7 +117,8 @@ def create_models(args, near: float, far: float, key=None) -> Bundle:
         model = NeRFMLP(depth=args.netdepth, width=args.netwidth,
                         input_ch=input_ch, input_ch_views=input_ch_views,
                         output_ch=5 if args.N_importance > 0 else 4,
-                        skips=skips, use_viewdirs=bool(args.use_viewdirs))
+                        skips=skips, use_viewdirs=bool(args.use_viewdirs),
+                        dtype=_compute_dtype(args))
         kc, kf = jax.random.split(key)
         dummy = jnp.zeros((1, input_ch + input_ch_views))
         params = {"coarse": model.init(kc, dummy)["params"]}
@@ -117,7 +126,8 @@ def create_models(args, near: float, far: float, key=None) -> Bundle:
             fine = NeRFMLP(depth=args.netdepth_fine, width=args.netwidth_fine,
                            input_ch=input_ch, input_ch_views=input_ch_views,
                            output_ch=5, skips=skips,
-                           use_viewdirs=bool(args.use_viewdirs))
+                           use_viewdirs=bool(args.use_viewdirs),
+                           dtype=_compute_dtype(args))
             params["fine"] = fine.init(kf, dummy)["params"]
 
         if args.pretrained_ckpt:

@@ -428,8 +428,10 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
     if args.data_mode == "rays":
         holder = {}
 
+        dim_rgb = {"": 3, "depth": 4, "surface": 6}[args.learn_depth or ""]
+
         def build():
-            ds = RayShardDataset(datadir_kd,
+            ds = RayShardDataset(datadir_kd, dim_rgb=dim_rgb,
                                  hold_ratio=args.pseudo_data_hold_ratio,
                                  pseudo_ratio=args.pseudo_ratio, rng=rng)
             if "loader" in holder:

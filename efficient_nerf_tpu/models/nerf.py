@@ -29,6 +29,7 @@ class NeRFMLP(nn.Module):
     skips: Sequence[int] = (4,)
     use_viewdirs: bool = True
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32  # computation dtype (bf16 on MXU for speed)
 
     @nn.compact
     def __call__(self, x):
@@ -38,22 +39,24 @@ class NeRFMLP(nn.Module):
 
         h = pts
         for i in range(self.depth):
-            h = nn.Dense(self.width, name=f"pts_{i}",
+            h = nn.Dense(self.width, name=f"pts_{i}", dtype=self.dtype,
                          param_dtype=self.param_dtype)(h)
             h = nn.relu(h)
             if i in self.skips:
                 h = jnp.concatenate([pts, h], axis=-1)
 
         if self.use_viewdirs:
-            alpha = nn.Dense(1, name="alpha", param_dtype=self.param_dtype)(h)
-            feature = nn.Dense(self.width, name="feature",
+            alpha = nn.Dense(1, name="alpha", dtype=self.dtype,
+                             param_dtype=self.param_dtype)(h)
+            feature = nn.Dense(self.width, name="feature", dtype=self.dtype,
                                param_dtype=self.param_dtype)(h)
             h = jnp.concatenate([feature, views], axis=-1)
             h = nn.relu(
-                nn.Dense(self.width // 2, name="views_0",
+                nn.Dense(self.width // 2, name="views_0", dtype=self.dtype,
                          param_dtype=self.param_dtype)(h)
             )
-            rgb = nn.Dense(3, name="rgb", param_dtype=self.param_dtype)(h)
-            return jnp.concatenate([rgb, alpha], axis=-1)
-        return nn.Dense(self.output_ch, name="output",
-                        param_dtype=self.param_dtype)(h)
+            rgb = nn.Dense(3, name="rgb", dtype=self.dtype,
+                           param_dtype=self.param_dtype)(h)
+            return jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
+        return nn.Dense(self.output_ch, name="output", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(h).astype(jnp.float32)
