@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import signal
 import time
 from types import SimpleNamespace
 from typing import Optional
@@ -162,6 +163,7 @@ def _export_stablehlo(bundle: Bundle, args, logger):
 def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None):
     logger = logger or Logger(args, basedir=args.basedir)
     log = logger.info
+    guard = _PreemptionGuard()  # installed before setup/compile
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
@@ -251,10 +253,35 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
     if args.model_name == "nerf":
         return _train_nerf(args, logger, scene, bundle, n_iters, start,
                            best_psnr, best_psnr_step, rng, key, rp_kwargs,
-                           test_poses, test_images, video_poses)
+                           test_poses, test_images, video_poses, guard)
     return _train_r2l(args, logger, scene, bundle, n_iters, start,
                       best_psnr, best_psnr_step, rng, key, rp_kwargs,
-                      test_poses, test_images, video_poses)
+                      test_poses, test_images, video_poses, guard)
+
+
+class _PreemptionGuard:
+    """Checkpoint-on-preemption: SIGTERM/SIGINT set a flag; the train loop
+    saves and exits cleanly at the next step boundary. (The reference has no
+    preemption handling at all — recovery is manual --resume, SURVEY §5.)"""
+
+    def __init__(self):
+        self.fired = False
+        self._prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # non-main thread
+                pass
+
+    def _handler(self, signum, frame):
+        self.fired = True
+
+    def restore(self):
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
 
 
 def _model_config(args) -> dict:
@@ -321,7 +348,7 @@ def _periodic(args, logger, bundle, params, opt_state, step, hist_psnr,
 
 def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
                 best_psnr_step, rng, key, rp_kwargs, test_poses, test_images,
-                video_poses):
+                video_poses, guard=None):
     log = logger.info
     H, W, focal = scene.hwf
     step_fn = make_teacher_train_step(bundle.model, bundle.optimizer,
@@ -345,7 +372,15 @@ def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
     timer = Timer(max(1, (n_iters - start) // args.i_testset))
     batch_time = AverageMeter("batch", ":.4f")
     hist_psnr = 0.0
+    guard = guard or _PreemptionGuard()
     for i in range(start + 1, n_iters + 1):
+        if guard.fired:
+            path = save_checkpoint(
+                os.path.join(logger.weights_path, "ckpt_preempt.msgpack"),
+                state.params, state.opt_state, i - 1, best_psnr,
+                best_psnr_step, model_config=_model_config(args))
+            log(f"Preemption signal: saved {path} at iter {i - 1}")
+            break
         t0 = time.time()
         if use_batching:
             batch = rays_rgb[i_batch:i_batch + args.N_rand]
@@ -388,6 +423,7 @@ def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
             args, logger, bundle, state.params, state.opt_state, i, hist_psnr,
             best_psnr, best_psnr_step, rp_kwargs, test_poses, test_images,
             video_poses, scene, timer)
+    guard.restore()
     return state
 
 
@@ -477,7 +513,7 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
 
 def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
                best_psnr_step, rng, key, rp_kwargs, test_poses, test_images,
-               video_poses):
+               video_poses, guard=None):
     log = logger.info
     next_batch, reload = _make_r2l_data_iterator(args, scene, bundle, rng,
                                                  logger)
@@ -514,7 +550,15 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
     data_time = AverageMeter("data", ":.4f")
     hist_psnr = hist_depth = 0.0
     batch = probe
+    guard = guard or _PreemptionGuard()
     for i in range(start + 1, n_iters + 1):
+        if guard.fired:
+            path = save_checkpoint(
+                os.path.join(logger.weights_path, "ckpt_preempt.msgpack"),
+                state.params, state.opt_state, i - 1, best_psnr,
+                best_psnr_step, model_config=_model_config(args))
+            log(f"Preemption signal: saved {path} at iter {i - 1}")
+            break
         t0 = time.time()
         reload(i)
         o, d, t = batch
@@ -548,6 +592,7 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
             args, logger, bundle, state.params, state.opt_state, i, hist_psnr,
             best_psnr, best_psnr_step, rp_kwargs, test_poses, test_images,
             video_poses, scene, timer)
+    guard.restore()
     return state
 
 
