@@ -83,13 +83,14 @@ def main():
     float(run_lo(params, rays_o, rays_d, eps_lo))  # compile
     float(run_hi(params, rays_o, rays_d, eps_hi))
 
-    def timed(run, eps, reps=3):
+    def timed(run, eps, reps=6):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(run(params, rays_o, rays_d, eps))  # scalar fetch = barrier
             ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
+        # min: the contention-free floor (differencing two medians was noisy)
+        return min(ts)
 
     dt = (timed(run_hi, eps_hi) - timed(run_lo, eps_lo)) / (n_hi - n_lo)
     rays_per_s = B / dt

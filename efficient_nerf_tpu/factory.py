@@ -78,7 +78,9 @@ def _r2l_from_args(args, input_dim: int) -> R2LNet:
         layerwise_widths=tuple(
             int(x) for x in args.layerwise_netwidths.split(",")
         ) if args.layerwise_netwidths else (),
-        remat_body=True,
+        # remat off: v5e HBM holds the 88-layer activations at the
+        # reference batch (4.3 GB at B=98k bf16) and it is ~15% faster
+        remat_body=False,
         dtype=_compute_dtype(args),
     )
 

@@ -102,24 +102,20 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
             head_w_ref, head_b_ref, body_w_ref, body_b_ref,
             tail_w_ref, tail_b_ref, out_ref, *, n_block: int,
             res_scale: float, use_global_residual: bool,
-            unroll_body: bool):
+            unroll_body: bool, interleave: int = 1):
     f32 = jnp.float32
-    # --- embed: y = o @ P1 + d @ P2 (K=3 contraction; negligible cost)
-    o = o_ref[:].astype(f32)
-    d = d_ref[:].astype(f32)
-    y = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
-         + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
-    x = jnp.where(sinm_ref[:] != 0, jnp.sin(y),
-                  jnp.where(cosm_ref[:] != 0, jnp.cos(y), y))
-
-    # --- head
-    h = jnp.dot(x.astype(head_w_ref.dtype), head_w_ref[:],
-                preferred_element_type=f32) + head_b_ref[:]
-    h = jnp.maximum(h, 0.0)
-    h0 = h
-
-    # --- residual body (weights resident in VMEM; fori over blocks)
     wdt = head_w_ref.dtype
+
+    def embed(o, d):
+        y = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
+             + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
+        return jnp.where(sinm_ref[:] != 0, jnp.sin(y),
+                         jnp.where(cosm_ref[:] != 0, jnp.cos(y), y))
+
+    def head(x):
+        h = jnp.dot(x.astype(wdt), head_w_ref[:],
+                    preferred_element_type=f32) + head_b_ref[:]
+        return jnp.maximum(h, 0.0)
 
     def block(i, h):
         w1 = body_w_ref[i, 0]
@@ -131,6 +127,36 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
         g = jnp.dot(g.astype(wdt), w2, preferred_element_type=f32) + b2
         return g * res_scale + h
 
+    def tail(h):
+        t = jnp.dot(h.astype(wdt), tail_w_ref[:],
+                    preferred_element_type=f32) + tail_b_ref[:]
+        return jax.nn.sigmoid(t)
+
+    o_all = o_ref[:].astype(f32)
+    d_all = d_ref[:].astype(f32)
+    tile = o_all.shape[0]
+
+    if unroll_body and interleave > 1:
+        # Independent sub-tile chains interleaved per block so the scheduler
+        # can overlap one chain's VPU epilogue with another's MXU matmul.
+        sub = tile // interleave
+        hs = []
+        for k in range(interleave):
+            x = embed(o_all[k * sub:(k + 1) * sub],
+                      d_all[k * sub:(k + 1) * sub])
+            hs.append(head(x))
+        h0s = list(hs)
+        for i in range(n_block):
+            hs = [block(i, h) for h in hs]
+        if use_global_residual:
+            hs = [h + h0 for h, h0 in zip(hs, h0s)]
+        for k in range(interleave):
+            out_ref[k * sub:(k + 1) * sub] = tail(hs[k])
+        return
+
+    x = embed(o_all, d_all)
+    h = head(x)
+    h0 = h
     if unroll_body:
         for i in range(n_block):
             h = block(i, h)
@@ -138,11 +164,7 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
         h = jax.lax.fori_loop(0, n_block, block, h)
     if use_global_residual:
         h = h + h0
-
-    # --- tail (+ sigmoid)
-    t = jnp.dot(h.astype(wdt), tail_w_ref[:],
-                preferred_element_type=f32) + tail_b_ref[:]
-    out_ref[:] = jax.nn.sigmoid(t)
+    out_ref[:] = tail(h)
 
 
 def _kernel_resident(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
@@ -225,7 +247,7 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
                       res_scale: float = 1.0, use_global_residual: bool = False,
                       linear_tail: bool = False, dtype=jnp.bfloat16,
                       unroll_body: bool = True, resident_weights: bool = False,
-                      interpret: bool = False):
+                      interleave: int = 1, interpret: bool = False):
     """Fused inference forward. rays_o/rays_d: [B, 3] -> rgb [B, out_dim].
 
     Requires the uniform-width scan-body R2LNet layout (n_learnable=2,
@@ -304,7 +326,8 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
     else:
         kernel = functools.partial(
             _kernel, n_block=n_block, res_scale=res_scale,
-            use_global_residual=use_global_residual, unroll_body=unroll_body)
+            use_global_residual=use_global_residual, unroll_body=unroll_body,
+            interleave=interleave)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
