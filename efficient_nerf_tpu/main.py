@@ -136,8 +136,6 @@ def _select_coords(rng, H, W, n_rand, mode, precrop_frac=None):
 def _export_stablehlo(bundle: Bundle, args, logger):
     """--convert_to_onnx parity: export the student forward as StableHLO
     (the portable deployment format on the JAX stack; onnx does not apply)."""
-    from .core.encoding import ray_embed
-
     model = bundle.model
     B = 256 * 256
 
