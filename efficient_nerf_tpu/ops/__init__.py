@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ray_points_embed", "fused_r2l_available", "r2l_forward_fused",
-           "fused_ray_embed_available"]
+           "fused_ray_embed_available", "fused_nerf_available",
+           "nerf_forward_fused"]
 
 
 def _on_tpu() -> bool:
@@ -41,6 +42,25 @@ def fused_r2l_available() -> bool:
 
 # back-compat alias (bench.py round-1 name)
 fused_ray_embed_available = fused_r2l_available
+
+
+def fused_nerf_available() -> bool:
+    """Teacher field-eval megakernel (ops/pallas/nerf_forward.py) gate."""
+    if os.environ.get("EFFICIENT_NERF_TPU_NO_PALLAS"):
+        return False
+    if not _on_tpu():
+        return False
+    try:
+        from .pallas import nerf_forward  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def nerf_forward_fused(*args, **kwargs):
+    from .pallas.nerf_forward import nerf_forward_fused as impl
+
+    return impl(*args, **kwargs)
 
 
 def ray_points_embed(rays_o, rays_d, near, far, n_sample, L,

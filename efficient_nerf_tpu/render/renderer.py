@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..core.encoding import nerf_embed
 from ..core.rays import get_rays, ndc_rays
-from ..core.sampling import linear_zvals, sample_pdf, stratify_zvals
+from ..core.sampling import (linear_zvals, merge_sorted, sample_pdf,
+                             stratify_zvals)
 from ..core.volume import raw2outputs
 
 __all__ = ["RenderConfig", "RenderResult", "render_rays", "render_image",
@@ -51,6 +52,13 @@ class RenderConfig:
     near: float = 2.0
     far: float = 6.0
     chunk: int = 32768            # rays per compiled step in render_image
+    # dispatch field evals to the Pallas teacher megakernel (inference only:
+    # it has no VJP, so this must stay False for configs used under jax.grad).
+    # Off by default even at eval: measured on v5e the kernel beats XLA 1.6x
+    # on isolated point evals but only ties it inside the full frame program
+    # (XLA's fused big-M matmul chain reaches the same ~100 bf16-TFLOP/s
+    # serial MXU+VPU floor) — see docs/PERF.md.
+    fused_teacher: bool = False
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise."""
@@ -69,11 +77,31 @@ class RenderResult(NamedTuple):
     z_std: jnp.ndarray
 
 
+def _nerf_fused_eligible(model, cfg: RenderConfig) -> bool:
+    """The teacher megakernel covers the reference profile: viewdir branch,
+    one input skip, embed dims matching the config's multires."""
+    from ..ops import fused_nerf_available
+
+    return (cfg.fused_teacher and cfg.use_viewdirs
+            and getattr(model, "use_viewdirs", False)
+            and len(tuple(getattr(model, "skips", ()))) == 1
+            and model.input_ch == 3 * (2 * cfg.multires + 1)
+            and model.input_ch_views == 3 * (2 * cfg.multires_views + 1)
+            and fused_nerf_available())
+
+
 def _query(model, params, pts, viewdirs, cfg: RenderConfig):
     """Embed sample points (+dirs) and evaluate the field MLP.
 
     pts: [N, S, 3]; viewdirs: [N, 3] or None. Returns raw [N, S, 4].
     """
+    if _nerf_fused_eligible(model, cfg):
+        from ..ops import nerf_forward_fused
+
+        return nerf_forward_fused(params, pts, viewdirs[..., None, :],
+                                  cfg.multires, cfg.multires_views,
+                                  skip=tuple(model.skips)[0],
+                                  dtype=model.dtype)
     emb = nerf_embed(pts, cfg.multires)
     if cfg.use_viewdirs:
         dirs = nerf_embed(viewdirs, cfg.multires_views)
@@ -129,9 +157,17 @@ def render_rays(
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_samples = sample_pdf(k_pdf, z_mid, coarse.weights[..., 1:-1],
-                           cfg.n_importance, det=not cfg.perturb, u=u)
+                           cfg.n_importance, det=not cfg.perturb, u=u,
+                           sorted_u=True)
     z_samples = jax.lax.stop_gradient(z_samples)
-    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+    if u is None:
+        # z_samples is per-ray sorted (det linspace / sorted_uniform draws),
+        # and the stratified z_vals are sorted by construction: a bitonic
+        # two-way merge replaces the full jnp.sort (~4x fewer network stages).
+        z_all = merge_sorted(z_vals, z_samples)
+    else:
+        # determinism hook supplies arbitrary-order u -> general sort.
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
     params_f = params_fine if params_fine is not None else params_coarse

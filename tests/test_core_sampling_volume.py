@@ -188,3 +188,34 @@ def test_sample_ray_points_flatten():
     np.testing.assert_allclose(
         pts[0], [0, 0, -2, 0, 0, -10 / 3, 0, 0, -14 / 3, 0, 0, -6.0], atol=1e-5
     )
+
+
+def test_merge_sorted_equals_sort(rng):
+    from efficient_nerf_tpu.core.sampling import merge_sorted
+
+    for m, n in [(64, 128), (5, 7), (1, 1), (16, 3)]:
+        a = np.sort(rng.normal(size=(17, m)).astype(np.float32), -1)
+        b = np.sort(rng.normal(size=(17, n)).astype(np.float32), -1)
+        got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b], -1), -1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sorted_uniform_is_sorted_and_uniform():
+    from efficient_nerf_tpu.core.sampling import sorted_uniform
+
+    u = np.asarray(sorted_uniform(jax.random.PRNGKey(0), (50000, 8)))
+    assert (np.diff(u, axis=-1) >= 0).all()
+    assert u.min() > 0.0 and u.max() < 1.0
+    # k-th of n=8 order statistics has mean k/(n+1)
+    np.testing.assert_allclose(u.mean(0), np.arange(1, 9) / 9.0, atol=7e-3)
+
+
+def test_sample_pdf_sorted_u_output_is_sorted(rng):
+    from efficient_nerf_tpu.core.sampling import sample_pdf
+
+    bins = np.sort(rng.uniform(2.0, 6.0, size=(11, 9)).astype(np.float32), -1)
+    w = rng.uniform(size=(11, 8)).astype(np.float32)
+    z = np.asarray(sample_pdf(jax.random.PRNGKey(1), jnp.asarray(bins),
+                              jnp.asarray(w), 32, det=False, sorted_u=True))
+    assert (np.diff(z, axis=-1) >= 0).all()

@@ -58,3 +58,28 @@ def test_megakernel_interpret_matches_flax(use_global_residual, rng):
                             use_global_residual=use_global_residual)
     assert got.shape == (B, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_teacher_megakernel_interpret_matches_flax(rng):
+    """Pallas teacher kernel (interpret mode, f32) vs the flax NeRFMLP."""
+    from efficient_nerf_tpu.core.encoding import nerf_embed
+    from efficient_nerf_tpu.models import NeRFMLP
+    from efficient_nerf_tpu.ops.pallas.nerf_forward import nerf_forward_fused
+
+    L, Lv = 10, 4
+    model = NeRFMLP()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
+
+    N, S = 7, 5  # 35 points: non-multiple of tile to exercise padding
+    pts = jnp.asarray(rng.normal(size=(N, S, 3)).astype(np.float32))
+    vd = rng.normal(size=(N, 3)).astype(np.float32)
+    vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True))
+
+    emb = nerf_embed(pts, L)
+    de = jnp.broadcast_to(nerf_embed(vd, Lv)[:, None, :], (N, S, 27))
+    want = model.apply({"params": params}, jnp.concatenate([emb, de], -1))
+
+    got = nerf_forward_fused(params, pts, vd[:, None, :], L, Lv,
+                             tile_p=16, dtype=jnp.float32, interpret=True)
+    assert got.shape == (N, S, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
