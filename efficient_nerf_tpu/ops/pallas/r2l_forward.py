@@ -341,6 +341,11 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
             ],
             out_specs=out_spec,
             out_shape=out_shape,
+            # the ~11.8 MB resident bf16 weights + a >=1024-ray tile's f32
+            # sin/cos temporaries exceed the default 16 MB scoped-vmem
+            # budget; v5e has far more physical VMEM.
+            compiler_params=(None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)),
             interpret=interpret,
         )(*operands)
 
