@@ -94,6 +94,7 @@ class TorchR2L(tnn.Module):
 @pytest.mark.parametrize("use_viewdirs", [True, False])
 def test_nerf_teacher_parity(use_viewdirs, rng):
     D, W, ic, icv = 4, 32, 63, 27
+    torch.manual_seed(0)
     tm = TorchNeRF(D=D, W=W, input_ch=ic, input_ch_views=icv, skips=(2,),
                    use_viewdirs=use_viewdirs)
     tm.eval()
@@ -114,6 +115,7 @@ def test_nerf_teacher_parity(use_viewdirs, rng):
 def test_r2l_parity(use_residual, linear_tail, res_scale, rng):
     input_dim, D, W = 6 * 5, 8, 16
     n_block = (D - 2) // 2
+    torch.manual_seed(0)
     tm = TorchR2L(input_dim, D, W, n_block, use_residual=use_residual,
                   linear_tail=linear_tail, res_scale=res_scale)
     tm.eval()

@@ -1,0 +1,418 @@
+"""Numerical parity against the ACTUAL reference code at /root/reference.
+
+Round-1 parity tests compared against builder-written torch twins; a shared
+misreading of reference semantics would pass silently. These tests import the
+real reference modules (they are importable on this machine) and assert
+allclose against them directly:
+
+- sample_pdf (det + pytest random path)     helpers.py:283-330
+- raw2outputs incl. the sigma-noise hook    helpers.py:77-144
+- get_rays / ndc_rays                       helpers.py:231-279
+- teacher positional Embedder               helpers.py:24-74
+- teacher render pixels + parameter grads   nerf_raybased.py:337-440 (NeRF)
+  through the reference render_rays math    main.py:624-756 (glue replicated)
+- R2L forward + grads                       nerf_raybased.py:480-544 (NeRF_v3_2)
+  via reference PointSampler + PositionalEmbedder (nerf_raybased.py:76-223)
+- SSIM                                      utils/ssim_torch.py:11-94
+- FLIP                                      utils/flip_loss.py:47-438
+  (reference hardcodes .cuda(); patched to CPU for the comparison)
+
+Weights move through models.torch_import, so this also end-to-end validates
+the checkpoint importer against real reference nn.Modules.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+sys.path.insert(0, REF)
+
+from utils.run_nerf_raybased_helpers import (  # noqa: E402
+    get_embedder, get_rays as ref_get_rays, ndc_rays as ref_ndc_rays,
+    raw2outputs as ref_raw2outputs, sample_pdf as ref_sample_pdf)
+from model.nerf_raybased import (  # noqa: E402
+    NeRF as RefNeRF, NeRF_v3_2 as RefNeRFv32,
+    PointSampler as RefPointSampler,
+    PositionalEmbedder as RefPositionalEmbedder)
+from utils.ssim_torch import ssim as ref_ssim  # noqa: E402
+import utils.flip_loss as ref_flip_mod  # noqa: E402
+
+# The reference turns anomaly detection on at import (helpers.py:8) — a real
+# slowdown we don't want in CI (SURVEY.md quirk list).
+torch.autograd.set_detect_anomaly(False)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from efficient_nerf_tpu.core.encoding import nerf_embed, ray_embed  # noqa: E402
+from efficient_nerf_tpu.core.rays import (  # noqa: E402
+    get_rays, ndc_rays, plucker_rays)
+from efficient_nerf_tpu.core.ray_sampler import (  # noqa: E402
+    sample_image_points, sample_ray_points)
+from efficient_nerf_tpu.core.sampling import sample_pdf  # noqa: E402
+from efficient_nerf_tpu.core.volume import raw2outputs  # noqa: E402
+from efficient_nerf_tpu.core.poses import pose_spherical  # noqa: E402
+from efficient_nerf_tpu.metrics import flip, ssim  # noqa: E402
+from efficient_nerf_tpu.metrics.flip import flip_error_map  # noqa: E402
+from efficient_nerf_tpu.models import NeRFMLP, R2LNet  # noqa: E402
+from efficient_nerf_tpu.models.torch_import import (  # noqa: E402
+    nerf_params_from_state_dict, r2l_params_from_state_dict)
+from efficient_nerf_tpu.render import RenderConfig, render_rays  # noqa: E402
+from efficient_nerf_tpu.render.r2l_renderer import (  # noqa: E402
+    r2l_forward_rays)
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+# ---------------------------------------------------------------- ray math
+
+def test_get_rays_matches_reference():
+    H, W, focal = 7, 9, 11.5
+    c2w = _t(pose_spherical(37.0, -24.0, 4.0)[:3, :4])
+    ro_ref, rd_ref = ref_get_rays(H, W, focal, c2w)
+    ro, rd = get_rays(H, W, focal, np.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(ro), ro_ref.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd), rd_ref.numpy(), atol=1e-6)
+
+    # focal_scale path (pseudo-data random-focal augmentation)
+    ro_ref, rd_ref = ref_get_rays(H, W, focal, c2w, focal_scale=1.7)
+    ro, rd = get_rays(H, W, focal, np.asarray(c2w), focal_scale=1.7)
+    np.testing.assert_allclose(np.asarray(rd), rd_ref.numpy(), atol=1e-6)
+    # traced focal_scale branch must agree with the python-float branch
+    ro2, rd2 = get_rays(H, W, focal, jnp.asarray(np.asarray(c2w)),
+                        focal_scale=jnp.float32(1.7))
+    np.testing.assert_allclose(np.asarray(rd2), rd_ref.numpy(), atol=1e-5)
+
+
+def test_ndc_rays_matches_reference(rng):
+    H, W, focal, near = 12, 16, 20.0, 1.0
+    c2w = _t(pose_spherical(10.0, -15.0, 4.0)[:3, :4])
+    ro_t, rd_t = ref_get_rays(H, W, focal, c2w)
+    # keep rays pointing forward (negative z) as LLFF cameras do
+    ro_ref, rd_ref = ref_ndc_rays(H, W, focal, near, ro_t.reshape(-1, 3),
+                                  rd_t.reshape(-1, 3))
+    ro, rd = ndc_rays(H, W, focal, near,
+                      jnp.asarray(ro_t.numpy()).reshape(-1, 3),
+                      jnp.asarray(rd_t.numpy()).reshape(-1, 3))
+    np.testing.assert_allclose(np.asarray(ro), ro_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), rd_ref.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------- sample_pdf
+
+def test_sample_pdf_det_matches_reference(rng):
+    B, nbins, n = 13, 9, 17
+    bins = np.sort(rng.uniform(2.0, 6.0, size=(B, nbins)).astype(np.float32))
+    w = rng.uniform(0.0, 1.0, size=(B, nbins - 1)).astype(np.float32)
+    w[0, :] = 0.0  # degenerate all-zero row exercises the 1e-5 floor
+    want = ref_sample_pdf(_t(bins), _t(w), n, det=True).numpy()
+    got = sample_pdf(None, jnp.asarray(bins), jnp.asarray(w), n, det=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_sample_pdf_pytest_random_path_matches_reference(rng):
+    """The reference's own determinism hook: pytest=True overwrites u with
+    np.random.seed(0) draws (helpers.py:298-307). Feed the identical u."""
+    B, nbins, n = 8, 7, 12
+    bins = np.sort(rng.uniform(2.0, 6.0, size=(B, nbins)).astype(np.float32))
+    w = rng.uniform(0.0, 1.0, size=(B, nbins - 1)).astype(np.float32)
+    want = ref_sample_pdf(_t(bins), _t(w), n, det=False, pytest=True).numpy()
+    np.random.seed(0)
+    u = np.random.rand(B, n).astype(np.float32)
+    got = sample_pdf(None, jnp.asarray(bins), jnp.asarray(w), n,
+                     u=jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+# ---------------------------------------------------------- raw2outputs
+
+def test_raw2outputs_matches_reference(rng):
+    B, S = 11, 6
+    raw = rng.normal(size=(B, S, 4)).astype(np.float32)
+    z = np.sort(rng.uniform(2.0, 6.0, size=(B, S)).astype(np.float32))
+    rd = rng.normal(size=(B, 3)).astype(np.float32)
+    for white in (False, True):
+        rgb_r, disp_r, acc_r, w_r, depth_r = ref_raw2outputs(
+            _t(raw), _t(z), _t(rd), white_bkgd=white)
+        out = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd),
+                          white_bkgd=white)
+        np.testing.assert_allclose(np.asarray(out.rgb), rgb_r.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.weights), w_r.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.depth), depth_r.numpy(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.disp), disp_r.numpy(),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.acc), acc_r.numpy(),
+                                   atol=1e-5)
+
+
+def test_raw2outputs_noise_hook_matches_reference(rng):
+    """sigma-noise regularizer with the reference pytest hook
+    (helpers.py:113-119: np.random.seed(0); rand * std)."""
+    B, S, std = 9, 5, 0.7
+    raw = rng.normal(size=(B, S, 4)).astype(np.float32)
+    z = np.sort(rng.uniform(2.0, 6.0, size=(B, S)).astype(np.float32))
+    rd = rng.normal(size=(B, 3)).astype(np.float32)
+    rgb_r, *_ = ref_raw2outputs(_t(raw), _t(z), _t(rd), raw_noise_std=std,
+                                pytest=True)
+    np.random.seed(0)
+    noise = (np.random.rand(B, S) * std).astype(np.float32)
+    out = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd),
+                      raw_noise_std=std, noise=jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(out.rgb), rgb_r.numpy(), atol=1e-5)
+
+
+# ------------------------------------------------------- encoders
+
+def test_teacher_embedder_matches_reference(rng):
+    for L, d in [(10, 3), (4, 3)]:
+        embed_fn, out_dim = get_embedder(L, 0)
+        x = rng.normal(size=(20, d)).astype(np.float32)
+        want = embed_fn(_t(x)).numpy()
+        got = nerf_embed(jnp.asarray(x), L)
+        assert got.shape[-1] == out_dim
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_r2l_positional_embedder_matches_reference(rng):
+    L, K = 10, 12
+    emb = RefPositionalEmbedder(L)
+    x = rng.normal(size=(14, K)).astype(np.float32)
+    want = emb(_t(x)).numpy()
+    got = ray_embed(jnp.asarray(x), L)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+# ------------------------------------- teacher render: pixels + gradients
+
+def _ref_nerf_render(model_c, model_f, rays_o, rays_d, cfg, L=10, Lv=4):
+    """The reference render_rays math (main.py:624-756), perturb=0, calling
+    only reference code for every non-trivial op: NeRF forward, raw2outputs,
+    sample_pdf. Glue (linspace z, pts, cat) transcribed from main.py:676-741.
+    """
+    embed_fn, _ = get_embedder(L, 0)
+    embeddirs_fn, _ = get_embedder(Lv, 0)
+    N = rays_o.shape[0]
+    viewdirs = rays_d / torch.norm(rays_d, dim=-1, keepdim=True)
+
+    def query(fn, pts):
+        flat = pts.reshape(-1, 3)
+        emb = embed_fn(flat)
+        dirs = viewdirs[:, None].expand(pts.shape).reshape(-1, 3)
+        emb = torch.cat([emb, embeddirs_fn(dirs)], -1)
+        return fn(emb).reshape(N, pts.shape[1], 4)
+
+    t_vals = torch.linspace(0.0, 1.0, steps=cfg.n_samples)
+    z_vals = (cfg.near * (1.0 - t_vals) + cfg.far * t_vals).expand(
+        N, cfg.n_samples)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = query(model_c, pts)
+    rgb0, _, _, weights, _ = ref_raw2outputs(raw, z_vals, rays_d)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = ref_sample_pdf(z_mid, weights[..., 1:-1],
+                               cfg.n_importance, det=True).detach()
+    z_all, _ = torch.sort(torch.cat([z_vals, z_samples], -1), -1)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+    raw = query(model_f, pts)
+    rgb, *_ = ref_raw2outputs(raw, z_all, rays_d)
+    return rgb, rgb0
+
+
+@pytest.fixture
+def ref_teacher_pair(rng):
+    D, W = 3, 32
+    cfg = RenderConfig(n_samples=6, n_importance=5, perturb=False,
+                       use_viewdirs=True, near=2.0, far=6.0)
+    torch.manual_seed(0)
+    tm_c = RefNeRF(D=D, W=W, input_ch=63, input_ch_views=27, skips=[1],
+                   use_viewdirs=True)
+    tm_f = RefNeRF(D=D, W=W, input_ch=63, input_ch_views=27, skips=[1],
+                   use_viewdirs=True)
+    model = NeRFMLP(depth=D, width=W, skips=(1,), use_viewdirs=True)
+    params = {
+        "coarse": nerf_params_from_state_dict(tm_c.state_dict(), depth=D),
+        "fine": nerf_params_from_state_dict(tm_f.state_dict(), depth=D),
+    }
+    N = 24
+    rays_o = rng.normal(size=(N, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(N, 3)).astype(np.float32)
+    return cfg, tm_c, tm_f, model, params, rays_o, rays_d
+
+
+def test_teacher_pixels_allclose_actual_reference(ref_teacher_pair):
+    cfg, tm_c, tm_f, model, params, rays_o, rays_d = ref_teacher_pair
+    with torch.no_grad():
+        want, want0 = _ref_nerf_render(tm_c, tm_f, _t(rays_o), _t(rays_d),
+                                       cfg)
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    res = render_rays(model, params["coarse"], params["fine"],
+                      jnp.asarray(rays_o), jnp.asarray(rays_d),
+                      jnp.asarray(viewdirs), None, cfg)
+    np.testing.assert_allclose(np.asarray(res.rgb), want.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res.rgb0), want0.numpy(), atol=2e-5)
+
+
+def test_teacher_grads_allclose_actual_reference(ref_teacher_pair):
+    cfg, tm_c, tm_f, model, params, rays_o, rays_d = ref_teacher_pair
+    rgb, rgb0 = _ref_nerf_render(tm_c, tm_f, _t(rays_o), _t(rays_d), cfg)
+    (rgb.sum() + rgb0.sum()).backward()
+
+    def loss_fn(p):
+        viewdirs = jnp.asarray(
+            rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True))
+        res = render_rays(model, p["coarse"], p["fine"],
+                          jnp.asarray(rays_o), jnp.asarray(rays_d),
+                          viewdirs, None, cfg)
+        return jnp.sum(res.rgb) + jnp.sum(res.rgb0)
+
+    grads = jax.grad(loss_fn)(params)
+    for which, tm in (("coarse", tm_c), ("fine", tm_f)):
+        tg = {k: v.grad.numpy() for k, v in tm.named_parameters()}
+        for ours, theirs in [("pts_0", "pts_linears.0"),
+                             ("pts_2", "pts_linears.2"),
+                             ("views_0", "views_linears.0"),
+                             ("feature", "feature_linear"),
+                             ("rgb", "rgb_linear"),
+                             ("alpha", "alpha_linear")]:
+            np.testing.assert_allclose(
+                np.asarray(grads[which][ours]["kernel"]),
+                tg[f"{theirs}.weight"].T, atol=1.5e-3,
+                err_msg=f"{which}/{ours} kernel grad")
+            np.testing.assert_allclose(
+                np.asarray(grads[which][ours]["bias"]),
+                tg[f"{theirs}.bias"], atol=1.5e-3,
+                err_msg=f"{which}/{ours} bias grad")
+
+
+# -------------------------------------------- R2L student vs NeRF_v3_2
+
+def _r2l_args(D, W, n_block, use_residual=False, linear_tail=False):
+    trial = types.SimpleNamespace(body_arch="resmlp", inact="relu",
+                                  outact="none", res_scale=1.0,
+                                  n_block=n_block, n_learnable=2)
+    return types.SimpleNamespace(netdepth=D, netwidth=W,
+                                 layerwise_netwidths="", act="relu",
+                                 linear_tail=linear_tail,
+                                 use_residual=use_residual, trial=trial)
+
+
+def test_r2l_forward_and_grads_vs_actual_reference(rng):
+    n_sample, L = 4, 10
+    input_dim = n_sample * 3 * (2 * L + 1)
+    D, W = 6, 32
+    n_block = (D - 2) // 2
+    torch.manual_seed(0)
+    tm = RefNeRFv32(_r2l_args(D, W, n_block), input_dim, 3)
+    params = r2l_params_from_state_dict(tm.state_dict(), n_block=n_block)
+    model = R2LNet(input_dim=input_dim, depth=D, width=W)
+
+    N = 32
+    rays_o = rng.normal(size=(N, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(N, 3)).astype(np.float32)
+
+    # reference input path: PointSampler.sample_train (perturb=0) + PE
+    sampler = RefPointSampler(4, 4, 10.0, n_sample, 2.0, 6.0)
+    embedder = RefPositionalEmbedder(L)
+    pts = sampler.sample_train(_t(rays_o), _t(rays_d), perturb=0)
+    want = tm(embedder(pts))
+    want.sum().backward()
+
+    got = r2l_forward_rays(model, params, jnp.asarray(rays_o),
+                           jnp.asarray(rays_d), 2.0, 6.0, n_sample, L,
+                           allow_fused=False)
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                               atol=2e-5)
+
+    grads = jax.grad(lambda p: jnp.sum(r2l_forward_rays(
+        model, p, jnp.asarray(rays_o), jnp.asarray(rays_d), 2.0, 6.0,
+        n_sample, L, allow_fused=False)))(params)
+    tg = {k: v.grad.numpy() for k, v in tm.named_parameters()}
+    np.testing.assert_allclose(np.asarray(grads["head"]["kernel"]),
+                               tg["head.0.weight"].T, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads["tail"]["kernel"]),
+                               tg["tail.0.weight"].T, atol=1e-4)
+    for b in range(n_block):
+        for j in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(grads["body"][f"lin_{j}"]["kernel"])[b],
+                tg[f"body.{b}.body.{2 * j}.weight"].T, atol=1e-4,
+                err_msg=f"body block {b} lin {j}")
+
+
+def test_r2l_sample_test_matches_reference_pointsampler():
+    H, W, focal, n_sample = 6, 8, 9.0, 5
+    c2w = _t(pose_spherical(55.0, -31.0, 4.0)[:3, :4])
+    sampler = RefPointSampler(H, W, focal, n_sample, 2.0, 6.0)
+    want = sampler.sample_test(c2w).numpy()
+    got = sample_image_points(np.asarray(c2w), H, W, focal, 2.0, 6.0,
+                              n_sample)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    # Plucker variants (nerf_raybased.py:176-188)
+    want_p = sampler.sample_test_plucker(c2w).numpy()
+    got_p = sample_image_points(np.asarray(c2w), H, W, focal, 2.0, 6.0,
+                                n_sample, plucker=True)
+    np.testing.assert_allclose(np.asarray(got_p), want_p, atol=1e-5)
+
+
+def test_r2l_train_plucker_matches_reference(rng):
+    rays_o = rng.normal(size=(10, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(10, 3)).astype(np.float32)
+    sampler = RefPointSampler(4, 4, 10.0, 4, 2.0, 6.0)
+    want = sampler.sample_train_plucker(_t(rays_o), _t(rays_d)).numpy()
+    got = plucker_rays(jnp.asarray(rays_o), jnp.asarray(rays_d))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+# ------------------------------------------------------------- metrics
+
+def test_ssim_matches_reference(rng):
+    a = rng.uniform(size=(2, 24, 20, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.08, size=a.shape), 0, 1).astype(
+        np.float32)
+    want = ref_ssim(_t(a).permute(0, 3, 1, 2), _t(b).permute(0, 3, 1, 2))
+    got = ssim(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(float(got), float(want), atol=1e-5)
+
+
+@pytest.fixture
+def flip_cpu_patch(monkeypatch):
+    """The reference FLIP hardcodes .cuda()/device='cuda'
+    (flip_loss.py:179-339); run it on CPU by stripping those."""
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=True)
+    orig_zeros = torch.zeros
+
+    def zeros_cpu(*a, **k):
+        k.pop("device", None)
+        return orig_zeros(*a, **k)
+
+    monkeypatch.setattr(torch, "zeros", zeros_cpu)
+    return None
+
+
+def test_flip_matches_reference(rng, flip_cpu_patch):
+    a = rng.uniform(size=(1, 24, 32, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(
+        np.float32)
+    fl = ref_flip_mod.FLIP()
+    want_map = fl.compute_flip(_t(a).permute(0, 3, 1, 2),
+                               _t(b).permute(0, 3, 1, 2),
+                               fl.pixels_per_degree)
+    got_map = flip_error_map(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(got_map)[..., 0], want_map.numpy()[:, 0], atol=1e-4)
+    got = flip(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(float(got), float(want_map.mean()), atol=1e-5)

@@ -98,6 +98,9 @@ def teacher_pair(rng):
     D, W = 3, 32
     cfg = RenderConfig(n_samples=6, n_importance=5, perturb=False,
                        use_viewdirs=True, near=2.0, far=6.0)
+    # Seed: unseeded init weights depend on how many torch RNG draws earlier
+    # tests made, which made the atol here order-dependent (flaky).
+    torch.manual_seed(0)
     tm_c = TorchNeRF(D=D, W=W, skips=(1,))
     tm_f = TorchNeRF(D=D, W=W, skips=(1,))
     model = NeRFMLP(depth=D, width=W, skips=(1,), use_viewdirs=True)
@@ -163,6 +166,7 @@ def test_r2l_pixels_and_gradients_allclose_torch(rng):
     n_sample, L = 4, 10
     input_dim = n_sample * 3 * (2 * L + 1)
     D, W = 6, 32
+    torch.manual_seed(0)
     tm = TorchR2L(input_dim, D, W, n_block=(D - 2) // 2)
     params = r2l_params_from_state_dict(tm.state_dict(), n_block=(D - 2) // 2)
     model = R2LNet(input_dim=input_dim, depth=D, width=W)
