@@ -181,6 +181,18 @@ def build_parser() -> argparse.ArgumentParser:
         default=False,
         help="train the student from the on-device teacher stream instead "
              "of .npy shards")
+    add("--stream_buffer_rays", type=int, default=2_000_000,
+        help="streaming generator: shuffle-buffer capacity in rays")
+    add("--stream_frames_per_batch", type=float, default=0.5,
+        help="streaming generator: new teacher frames rendered per emitted "
+             "batch (fractional allowed)")
+    add("--stream_warmup_frames", type=int, default=4,
+        help="streaming generator: frames rendered before the first batch")
+    add("--flip_reference_domain", type=_boolish, nargs="?", const=True,
+        default=False,
+        help="feed FLIP the [-1,1]-rescaled tensors exactly like the "
+             "reference (main.py:372-379) instead of remapping to [0,1]; "
+             "use to reproduce reference-reported FLIP numbers")
     return p
 
 

@@ -139,6 +139,28 @@ def translate_origin_to_sphere(rays_o, rays_d, radius: float = 3.6):
     return rays_o + t[..., None] * u
 
 
+def apply_trans_origin(rays_o, rays_d, trans_origin: str):
+    """Dispatch the --trans_origin modes (reference option.py:253, applied to
+    every get_rays in data generation via functools.partial,
+    create_data.py:34-37):
+
+      ''           no-op
+      'fixed'      translate 30 units along the ray (helpers.py:249-255)
+      '<float>'    translate that many units
+      'adapative' / 'adaptive' / 'to_sphere'
+                   project origins onto the |o|=3.6 sphere. The reference's
+                   'adapative' branch calls an undefined function (a latent
+                   NameError, helpers.py:249-250); translate_origin_v2 is its
+                   evident intent, so we map it there instead of crashing.
+    """
+    if not trans_origin:
+        return rays_o
+    if trans_origin in ("adapative", "adaptive", "to_sphere"):
+        return translate_origin_to_sphere(rays_o, rays_d)
+    scale = 30.0 if trans_origin == "fixed" else float(trans_origin)
+    return translate_origin_fixed(rays_o, rays_d, scale)
+
+
 def plucker_rays(rays_o, rays_d):
     """Plucker-coordinate ray representation [..., 6] = (d, o x d).
 

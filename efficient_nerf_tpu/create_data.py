@@ -67,7 +67,8 @@ def _prepare_dir(path: str, rm_existing: bool) -> int:
 
 def _export_patch_shards(render_frame, params_c, params_f, H, W, outdir,
                          n_pose, patch_hw, rng, use_rand_focal, i_save=20,
-                         start_split=0, items_per_shard=None, log=print):
+                         start_split=0, items_per_shard=None, max_save=0,
+                         log=print):
     """Frames -> [N, ph, pw, D] patch shards (CNN-style ablation data)."""
     ph, pw = patch_hw
     items_per_shard = items_per_shard or max(1, SHARD_ROWS // (ph * pw))
@@ -88,7 +89,8 @@ def _export_patch_shards(render_frame, params_c, params_f, H, W, outdir,
             n_full = len(acc) // items_per_shard * items_per_shard
             for s in range(0, n_full, items_per_shard):
                 split += 1
-                np.save(os.path.join(outdir, f"data_{split}.npy"),
+                idx = split % max_save if max_save > 0 else split
+                np.save(os.path.join(outdir, f"data_{idx}.npy"),
                         np.stack(acc[s:s + items_per_shard]).astype(np.float32))
             acc = acc[n_full:]
     return split
@@ -130,7 +132,8 @@ def create_data(args, logger: Optional[Logger] = None):
             outdir=datadir_kd, n_pose=n_pose,
             i_save=args.create_data_chunk,
             use_rand_focal=args.use_rand_focal, learn_depth=args.learn_depth,
-            resume=resume,
+            resume=resume, trans_origin=args.trans_origin,
+            max_save=args.max_save,
             progress=lambda i, n: log(f"[{i}/{n}] teacher rendering..."))
         log(f"Wrote {n} ray shards to {datadir_kd}")
         return n
@@ -167,14 +170,14 @@ def create_data(args, logger: Optional[Logger] = None):
         start = _prepare_dir(datadir_kd, args.rm_existing_data)
         render_frame = make_pseudo_frame_renderer(
             teacher.model, teacher.cfg_test, H, W, focal,
-            learn_depth=args.learn_depth)
+            learn_depth=args.learn_depth, trans_origin=args.trans_origin)
         n = _export_patch_shards(render_frame, params_c, params_f, H, W,
                                  datadir_kd, n_pose, patch_modes[mode], rng,
                                  args.use_rand_focal,
                                  i_save=args.create_data_chunk,
                                  start_split=start,
                                  items_per_shard=args.patch_items_per_shard
-                                 or None, log=log)
+                                 or None, max_save=args.max_save, log=log)
         log(f"Wrote {n} patch shards to {datadir_kd}")
         return n
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.rays import get_rays
+from ..core.rays import apply_trans_origin, get_rays
 from ..render.renderer import RenderConfig, render_rays
 from ..core.poses import random_spherical_pose
 
@@ -29,11 +29,14 @@ SHARD_ROWS = 4096
 
 
 def make_pseudo_frame_renderer(model, cfg: RenderConfig, H: int, W: int,
-                               focal: float, learn_depth: str = ""):
+                               focal: float, learn_depth: str = "",
+                               trans_origin: str = ""):
     """Jitted (params, c2w, focal_scale, key) -> [H*W, D] teacher rows.
 
     D = 9, or 10 with learn_depth='depth', or 12 with 'surface'
     (rows match the reference shard format, create_data.py:833-841).
+    trans_origin applies the reference's origin-translation modes to every
+    generated ray (create_data.py:34-37 redefines get_rays via partial).
     """
     chunk = min(cfg.chunk, H * W)
     n = H * W
@@ -45,6 +48,7 @@ def make_pseudo_frame_renderer(model, cfg: RenderConfig, H: int, W: int,
         rays_o, rays_d = get_rays(H, W, focal, c2w, focal_scale=focal_scale)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
+        rays_o = apply_trans_origin(rays_o, rays_d, trans_origin)
         viewdirs = None
         if ecfg.use_viewdirs:
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -123,9 +127,11 @@ class StreamingPseudoGenerator:
                  buffer_rays: int = 2_000_000, warmup_frames: int = 4,
                  frames_per_batch: float = 0.5, use_rand_focal: bool = True,
                  learn_depth: str = "", radius: float = 4.0,
+                 trans_origin: str = "",
                  rng: Optional[np.random.Generator] = None):
         self.render_frame = make_pseudo_frame_renderer(model, cfg, H, W, focal,
-                                                       learn_depth)
+                                                       learn_depth,
+                                                       trans_origin)
         self.params = (params_coarse, params_fine)
         self.H, self.W = H, W
         self.batch_rays = batch_rays
@@ -166,16 +172,20 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
                          n_pose: int, *, i_save: int = 100,
                          use_rand_focal: bool = True, learn_depth: str = "",
                          resume: bool = True, radius: float = 4.0,
+                         trans_origin: str = "", max_save: int = 0,
                          seed: int = 0, progress=None) -> int:
     """Write reference-format pseudo shards data_{k}.npy (4096 rows each).
 
     Mirrors create_data.py rand mode: every i_save poses the accumulated
     rows are double-shuffled and flushed as full 4096-row shards; an
-    existing directory resumes by counting existing .npy files.
+    existing directory resumes by counting existing .npy files. max_save > 0
+    bounds the shard count by wrapping the index (a ring of files that newer
+    shards overwrite, reference create_data.py:1110 'to maintain similar
+    total size').
     """
     rng = np.random.default_rng(seed)
     render_frame = make_pseudo_frame_renderer(model, cfg, H, W, focal,
-                                              learn_depth)
+                                              learn_depth, trans_origin)
     os.makedirs(outdir, exist_ok=True)
     split = len([x for x in os.listdir(outdir) if x.endswith(".npy")]) \
         if resume else 0
@@ -196,7 +206,8 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
             num = data.shape[0] // SHARD_ROWS
             for k in range(num):
                 split += 1
-                np.save(os.path.join(outdir, f"data_{split}.npy"),
+                idx = split % max_save if max_save > 0 else split
+                np.save(os.path.join(outdir, f"data_{idx}.npy"),
                         data[k * SHARD_ROWS:(k + 1) * SHARD_ROWS])
             acc = []
     return split

@@ -55,7 +55,8 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
                 multires: int = 10, plucker: bool = False,
                 gt_imgs: Optional[np.ndarray] = None,
                 savedir: Optional[str] = None, render_factor: float = 0,
-                given_rays=None, log=print) -> Dict:
+                given_rays=None, flip_reference_domain: bool = False,
+                log=print) -> Dict:
     """Render every pose; return {'rgbs': [N,H,W,3], metrics...}.
 
     given_rays: optional (all_rays_o [N,HW,3], all_rays_d [N,HW,3]) — render
@@ -111,9 +112,14 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
                            np.asarray(gt_imgs[i]))
                 save_image(os.path.join(savedir, f"{i:03d}_error.png"),
                            errors[-1])
-        log(f"[#{i}] frame rendered in {frame_times[-1]:.3f}s")
+        note = " (incl. jit compile)" if i == 0 else ""
+        log(f"[#{i}] frame rendered in {frame_times[-1]:.3f}s{note}")
 
     out: Dict = {"rgbs": np.stack(rgbs, 0), "frame_times": frame_times}
+    # Frame 0 pays the jit compile; report the steady-state time separately
+    # so logs/README quote an honest per-frame number.
+    steady = frame_times[1:] if len(frame_times) > 1 else frame_times
+    out["frame_time_avg"] = float(np.mean(steady))
     if gt_imgs is not None:
         gt = np.asarray(gt_imgs)[:, :H, :W, :3]
         rec = jnp.asarray(out["rgbs"])
@@ -135,6 +141,16 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
             out["test_lpips"] = float(np.concatenate(vals).mean())
         else:
             out["test_lpips"] = float("nan")
-        out["test_flip"] = float(flip(ref_m * 0.5 + 0.5, rec_m * 0.5 + 0.5,
-                                      default_pixels_per_degree()))
+        # FLIP input domain: the reference feeds the [-1, 1]-rescaled tensors
+        # straight into compute_flip (main.py:372-379), whose srgb2linrgb
+        # clamps to [0, 1] — crushing half the range. We default to remapping
+        # back to [0, 1] (documented divergence, docs/COMPONENTS.md);
+        # flip_reference_domain=True reproduces the reference's numbers.
+        if flip_reference_domain:
+            out["test_flip"] = float(flip(ref_m, rec_m,
+                                          default_pixels_per_degree()))
+        else:
+            out["test_flip"] = float(flip(ref_m * 0.5 + 0.5,
+                                          rec_m * 0.5 + 0.5,
+                                          default_pixels_per_degree()))
     return out

@@ -186,7 +186,9 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
     rp_kwargs = dict(model_name="nerf" if args.model_name == "nerf" else "r2l",
                      n_sample_per_ray=args.n_sample_per_ray,
                      multires=args.multires, plucker=args.plucker,
-                     render_factor=args.render_factor, log=log)
+                     render_factor=args.render_factor,
+                     flip_reference_domain=args.flip_reference_domain,
+                     log=log)
     if args.given_render_path_rays:
         from .evaluate import load_given_rays
         go, gd, ggt = load_given_rays(args.given_render_path_rays)
@@ -458,8 +460,12 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
             teacher.model, teacher.params["coarse"],
             teacher.params.get("fine"), teacher.cfg_test, H, W, focal,
             batch_rays=args.N_rand * 4096,
+            buffer_rays=args.stream_buffer_rays,
+            warmup_frames=args.stream_warmup_frames,
+            frames_per_batch=args.stream_frames_per_batch,
             use_rand_focal=args.use_rand_focal,
-            learn_depth=args.learn_depth, rng=rng)
+            learn_depth=args.learn_depth,
+            trans_origin=args.trans_origin, rng=rng)
         log("Streaming pseudo data from on-device teacher")
         return (lambda: next(gen)), (lambda step: None)
 

@@ -82,9 +82,14 @@ def _nerf_fused_eligible(model, cfg: RenderConfig) -> bool:
     one input skip, embed dims matching the config's multires."""
     from ..ops import fused_nerf_available
 
+    skips = tuple(getattr(model, "skips", ()))
     return (cfg.fused_teacher and cfg.use_viewdirs
             and getattr(model, "use_viewdirs", False)
-            and len(tuple(getattr(model, "skips", ()))) == 1
+            and len(skips) == 1
+            # the kernel concatenates the skip input before a *following* pts
+            # layer; a skip at the last pts layer would feed the heads
+            # width+in_ch inputs and fail with an opaque shape mismatch
+            and 0 <= skips[0] < model.depth - 1
             and model.input_ch == 3 * (2 * cfg.multires + 1)
             and model.input_ch_views == 3 * (2 * cfg.multires_views + 1)
             and fused_nerf_available())

@@ -46,8 +46,9 @@ def pick_hard_rays(pool: HardPool, key: jax.Array, batch: jnp.ndarray,
     """
     P = pool.rays.shape[0]
     full = pool.count >= P
-    idx_out = jax.random.randint(key, (n_hard_out,), 0, P)
-    batch_idx = jax.random.randint(key, (n_hard_out,), 0, batch.shape[0])
+    k_pool, k_batch = jax.random.split(key)
+    idx_out = jax.random.randint(k_pool, (n_hard_out,), 0, P)
+    batch_idx = jax.random.randint(k_batch, (n_hard_out,), 0, batch.shape[0])
     picked = jnp.where(full, pool.rays[idx_out], batch[batch_idx])
     return picked, idx_out
 

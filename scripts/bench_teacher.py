@@ -24,8 +24,7 @@ params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
 
 cfg = RenderConfig(n_samples=64, n_importance=128, white_bkgd=True).eval_mode()
 variant = sys.argv[1] if len(sys.argv) > 1 else "fused"
-if variant == "xla":
-    cfg = dataclasses.replace(cfg, fused_teacher=False)
+cfg = dataclasses.replace(cfg, fused_teacher=(variant == "fused"))
 
 c2w = jnp.asarray(pose_spherical(30.0, -30.0, 4.0)[:3, :4])
 

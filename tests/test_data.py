@@ -148,3 +148,34 @@ def test_export_pseudo_shards_resume(tmp_path):
     export_pseudo_shards(model, p, p, cfg, H=64, W=64, focal=60.0,
                          outdir=out2, n_pose=1, i_save=1, learn_depth="depth")
     assert np.load(os.path.join(out2, "data_1.npy")).shape == (4096, 10)
+
+
+def test_export_pseudo_shards_max_save_ring(tmp_path):
+    """--max_save wraps the shard index (reference create_data.py:1110):
+    4 shards with max_save=2 leave exactly data_0/data_1 on disk."""
+    model, p, cfg = _tiny_teacher()
+    out = str(tmp_path / "kd")
+    n = export_pseudo_shards(model, p, p, cfg, H=64, W=64, focal=60.0,
+                             outdir=out, n_pose=4, i_save=1, max_save=2,
+                             seed=0)
+    assert n == 4
+    assert sorted(os.listdir(out)) == ["data_0.npy", "data_1.npy"]
+
+
+def test_pseudo_trans_origin_translates_origins():
+    """trans_origin='fixed' slides origins 30 units along the (normalized)
+    ray; the packed rows must carry the translated origins."""
+    from efficient_nerf_tpu.data.pseudo import make_pseudo_frame_renderer
+    from efficient_nerf_tpu.core.poses import pose_spherical
+
+    model, p, cfg = _tiny_teacher()
+    c2w = jnp.asarray(pose_spherical(30.0, -30.0, 4.0)[:3, :4])
+    base = make_pseudo_frame_renderer(model, cfg, 4, 4, 6.0)
+    trans = make_pseudo_frame_renderer(model, cfg, 4, 4, 6.0,
+                                       trans_origin="fixed")
+    r0 = np.asarray(base(p, p, c2w, jnp.float32(1.0), None))
+    r1 = np.asarray(trans(p, p, c2w, jnp.float32(1.0), None))
+    d = r0[:, 3:6]
+    want = r0[:, :3] + 30.0 * d / np.linalg.norm(d, axis=-1, keepdims=True)
+    np.testing.assert_allclose(r1[:, :3], want, atol=1e-4)
+    np.testing.assert_allclose(r1[:, 3:6], r0[:, 3:6], atol=1e-6)

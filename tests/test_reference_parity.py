@@ -107,6 +107,36 @@ def test_ndc_rays_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(rd), rd_ref.numpy(), atol=1e-5)
 
 
+def test_trans_origin_matches_reference(rng):
+    from utils.run_nerf_raybased_helpers import (translate_origin_fixed as
+                                                 ref_fixed,
+                                                 translate_origin_v2 as
+                                                 ref_v2)
+    from efficient_nerf_tpu.core.rays import apply_trans_origin
+
+    rays_o = (rng.normal(size=(6, 3)) * 2 + 4).astype(np.float32)
+    rays_d = rng.normal(size=(6, 3)).astype(np.float32)
+
+    want = ref_fixed(_t(rays_o), _t(rays_d), scale=30).numpy()
+    got = apply_trans_origin(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                             "fixed")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    want = ref_fixed(_t(rays_o), _t(rays_d), scale=2.5).numpy()
+    got = apply_trans_origin(jnp.asarray(rays_o), jnp.asarray(rays_d), "2.5")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    # 'adapative' maps to the sphere projection (translate_origin_v2's math;
+    # the reference's own 'adapative' branch is a latent NameError). Use rays
+    # that actually intersect the |o|=3.6 sphere — the reference NaNs on
+    # misses (sqrt of a negative discriminant) where we clamp.
+    o = rays_o / np.linalg.norm(rays_o, axis=-1, keepdims=True) * 4.0
+    d = (-o + 0.3 * rng.normal(size=o.shape)).astype(np.float32)
+    want = ref_v2(_t(o), _t(d)).numpy()
+    got = apply_trans_origin(jnp.asarray(o), jnp.asarray(d), "adapative")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
 # ---------------------------------------------------------- sample_pdf
 
 def test_sample_pdf_det_matches_reference(rng):
