@@ -18,7 +18,8 @@ import numpy as np
 from ..core.poses import pose_spherical
 from ..core.rays import get_rays_np
 
-__all__ = ["render_sphere_frame", "make_synthetic_scene", "CAMERA_ANGLE_X"]
+__all__ = ["render_sphere_frame", "make_synthetic_scene",
+           "make_forward_facing_scene", "CAMERA_ANGLE_X"]
 
 CAMERA_ANGLE_X = 0.6911112070083618  # the classic blender-synthetic fov
 
@@ -82,6 +83,48 @@ def make_synthetic_scene(outdir: str, n_train: int = 20, n_val: int = 2,
                            "transform_matrix": pose.tolist()})
         with open(os.path.join(outdir, f"transforms_{split}.json"), "w") as f:
             json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+    return H, W, focal
+
+
+def make_forward_facing_scene(outdir: str, n_images: int = 12,
+                              H: int = 48, W: int = 64,
+                              sphere_z: float = -4.0, radius: float = 1.2,
+                              seed: int = 0) -> Tuple[int, int, float]:
+    """Write an LLFF-format forward-facing sphere scene; returns (H, W, focal).
+
+    Layout matches what load_llff_data expects (reference
+    dataset/load_llff.py:336-380): images/*.png plus poses_bounds.npy
+    [N, 17] rows of a 3x5 pose (rotation columns stored in LLFF's
+    [down, right, back] order, 5th column [H, W, focal]) and [near, far]
+    depth bounds. Cameras sit near the origin looking down world -z with
+    small x/y/z jitter — the fern-style geometry the NDC path exists for.
+    """
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    focal = 0.9 * W
+    os.makedirs(os.path.join(outdir, "images"), exist_ok=True)
+    rows = []
+    center = (0.0, 0.0, sphere_z)
+    for i in range(n_images):
+        t = np.array([rng.uniform(-0.4, 0.4), rng.uniform(-0.3, 0.3),
+                      rng.uniform(0.0, 0.2)], np.float32)
+        # camera axes in world frame: x=right, y=up, z=back (looks down -z)
+        c2w = np.concatenate([np.eye(3, dtype=np.float32), t[:, None]], 1)
+        img = render_sphere_frame(c2w, H, W, focal, radius=radius,
+                                  center=center)
+        rgb = img[..., :3] * img[..., 3:] + (1.0 - img[..., 3:])  # white bg
+        imageio.imwrite(os.path.join(outdir, "images", f"img_{i:03d}.png"),
+                        (rgb * 255).astype(np.uint8))
+        # invert the loader's column swap [down,right,back]->[right,up,back]:
+        # store columns [-y, x, z]
+        stored = np.stack([-c2w[:, 1], c2w[:, 0], c2w[:, 2], c2w[:, 3],
+                           np.array([H, W, focal], np.float32)], 1)  # [3, 5]
+        near = abs(sphere_z) - radius - 0.6
+        far = abs(sphere_z) + radius + 0.6
+        rows.append(np.concatenate([stored.reshape(-1), [near, far]]))
+    np.save(os.path.join(outdir, "poses_bounds.npy"),
+            np.stack(rows, 0).astype(np.float64))
     return H, W, focal
 
 

@@ -11,10 +11,11 @@ import jax.numpy as jnp
 import optax
 import pytest
 
-from efficient_nerf_tpu.core.rays import get_rays_np
+from efficient_nerf_tpu.core.rays import get_rays_np, ndc_rays
 from efficient_nerf_tpu.data.blender import composite_white, load_blender_data
 from efficient_nerf_tpu.data.pseudo import StreamingPseudoGenerator
-from efficient_nerf_tpu.data.synthetic import make_synthetic_scene
+from efficient_nerf_tpu.data.synthetic import (make_forward_facing_scene,
+                                               make_synthetic_scene)
 from efficient_nerf_tpu.metrics import psnr
 from efficient_nerf_tpu.models import NeRFMLP, R2LNet
 from efficient_nerf_tpu.render import (RenderConfig, r2l_render_image,
@@ -78,6 +79,61 @@ def test_teacher_fits_heldout_views(sphere_scene, trained_teacher):
                            cfg.eval_mode())
         psnrs.append(float(psnr(res.rgb, jnp.asarray(imgs[i]))))
     assert np.mean(psnrs) > 14.0, psnrs  # random init sits around 5-8 dB
+
+
+def test_ndc_teacher_fits_forward_facing_scene(tmp_path):
+    """End-to-end LLFF/NDC gate: synthetic forward-facing scene -> LLFF
+    loader (poses_bounds parsing, recenter, bd rescale) -> NDC ray
+    parameterization (near plane 1.0, z in [0, 1]) -> teacher training ->
+    held-out PSNR. Covers the second ray parameterization the blender gate
+    does not (reference ndc_rays helpers.py:260-279, fern configs)."""
+    from efficient_nerf_tpu.data.llff import load_llff_data
+
+    out = str(tmp_path / "ff")
+    make_forward_facing_scene(out, n_images=8, H=40, W=52)
+    data = load_llff_data(out, factor=1, recenter=True, bd_factor=0.75,
+                          spherify=False, n_pose_video=4)
+    H, W, focal = (int(data.poses[0, 0, 4]), int(data.poses[0, 1, 4]),
+                   float(data.poses[0, 2, 4]))
+    i_test = 0
+    i_train = [i for i in range(data.images.shape[0]) if i != i_test]
+
+    cfg = RenderConfig(n_samples=32, n_importance=16, perturb=True,
+                       use_viewdirs=False, white_bkgd=False, ndc=True,
+                       near=0.0, far=1.0, chunk=1040)
+    model = NeRFMLP(depth=4, width=96, input_ch=63, input_ch_views=0,
+                    use_viewdirs=False)
+    key = jax.random.PRNGKey(3)
+    params = {
+        "coarse": model.init(key, jnp.zeros((1, 63)))["params"],
+        "fine": model.init(jax.random.PRNGKey(4),
+                           jnp.zeros((1, 63)))["params"],
+    }
+    opt = optax.adam(5e-4)
+    state = init_train_state(params, opt)
+    step = make_teacher_train_step(model, opt, cfg, donate=False)
+    rng = np.random.default_rng(0)
+    ray_cache = {}
+    for i in range(1, 501):
+        img_i = int(rng.choice(i_train))
+        if img_i not in ray_cache:
+            ro, rd = get_rays_np(H, W, focal, data.poses[img_i][:3, :4])
+            no, nd = ndc_rays(H, W, focal, 1.0,
+                              jnp.asarray(ro.reshape(-1, 3)),
+                              jnp.asarray(rd.reshape(-1, 3)))
+            ray_cache[img_i] = (np.asarray(no), np.asarray(nd))
+        no, nd = ray_cache[img_i]
+        sel = rng.choice(H * W, size=512, replace=False)
+        state, m = step(state, jax.random.fold_in(key, i),
+                        jnp.asarray(no[sel]), jnp.asarray(nd[sel]),
+                        jnp.asarray(
+                            data.images[img_i].reshape(-1, 3)[sel]))
+
+    res = render_image(model, state.params["coarse"], state.params["fine"],
+                       H, W, focal, jnp.asarray(data.poses[i_test][:3, :4]),
+                       cfg.eval_mode())
+    p = float(psnr(res.rgb, jnp.asarray(data.images[i_test])))
+    assert p > 16.0, f"NDC held-out psnr {p}"
 
 
 def test_streaming_distillation_matches_teacher(sphere_scene, trained_teacher):
