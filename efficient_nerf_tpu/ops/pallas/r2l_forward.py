@@ -73,6 +73,42 @@ def embed_constants(n_sample: int, L: int, near: float, far: float):
     return jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(mode)
 
 
+@functools.lru_cache(maxsize=8)
+def _point_constants_np(n_sample: int, near: float, far: float):
+    """(A, Bz): p = o @ A + d @ Bz, p[b, s*3+c] = o[b,c] + d[b,c]*z_s."""
+    K = n_sample * 3
+    A = np.zeros((3, K), np.float32)
+    Bz = np.zeros((3, K), np.float32)
+    z = np.linspace(near, far, n_sample)
+    for s in range(n_sample):
+        for c in range(3):
+            A[c, s * 3 + c] = 1.0
+            Bz[c, s * 3 + c] = z[s]
+    return A, Bz
+
+
+@functools.lru_cache(maxsize=8)
+def _doubling_head_perm_np(n_sample: int, L: int) -> np.ndarray:
+    """Row permutation mapping the doubling-embed layout onto ray_embed's.
+
+    ray_embed column m*(2L+1)+j is sin(2^j p_m) for j<L, cos(2^(j-L) p_m)
+    for L<=j<2L, p_m for j==2L. The doubling kernel produces
+    [sin_0 | sin_1 | ... | sin_{L-1} | cos_0 | ... | cos_{L-1} | p] in
+    K-column blocks. perm[n] = the ray_embed column that doubling column n
+    holds, so head_w_doubling = head_w[perm].
+    """
+    K = n_sample * 3
+    E = 2 * L + 1
+    perm = np.empty(K * E, np.int64)
+    for j in range(L):
+        for m in range(K):
+            perm[j * K + m] = m * E + j                # sin block j
+            perm[(L + j) * K + m] = m * E + L + j      # cos block j
+    for m in range(K):
+        perm[2 * L * K + m] = m * E + 2 * L            # identity block
+    return perm
+
+
 def pack_r2l_weights(params, dtype=jnp.bfloat16):
     """R2LNet scan-body params -> packed kernel operands.
 
@@ -102,30 +138,86 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
             head_w_ref, head_b_ref, body_w_ref, body_b_ref,
             tail_w_ref, tail_b_ref, out_ref, *, n_block: int,
             res_scale: float, use_global_residual: bool,
-            unroll_body: bool, interleave: int = 1):
+            unroll_body: bool, interleave: int = 1,
+            bf16_epilogue: bool = False, fast_embed: bool = False,
+            n_freq: int = 10, diag: str = ""):
     f32 = jnp.float32
     wdt = head_w_ref.dtype
 
-    def embed(o, d):
-        y = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
-             + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
-        return jnp.where(sinm_ref[:] != 0, jnp.sin(y),
-                         jnp.where(cosm_ref[:] != 0, jnp.cos(y), y))
+    if fast_embed:
+        # Double-angle recurrence embedding. The naive per-column sin/cos
+        # over [tile, K*(2L+1)] costs ~29% of the whole frame (measured:
+        # 15.4 -> 11.0 ms/frame when the trig is stripped) because the VPU
+        # pays a multi-cycle transcendental per element — 960 per ray.
+        # Since the frequencies are octaves f_j = 2^j, evaluate sin/cos ONCE
+        # at the base angle p (96 transcendentals per ray) and derive the
+        # rest with sin(2x) = 2 sin x cos x, cos(2x) = 1 - 2 sin^2 x — three
+        # cheap VPU mul/adds per doubling. f32 error amplification is ~2^L
+        # ulp ~= 1e-4 at L=10, far below the kernel's bf16 weight rounding.
+        # The output block layout [sins | coss | p] is absorbed by a head-
+        # weight row permutation at pack time (_doubling_head_perm_np).
+        def embed(o, d):
+            p = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
+                 + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
+            s, c = jnp.sin(p), jnp.cos(p)
+            sins, coss = [s], [c]
+            for _ in range(1, n_freq):
+                s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+                sins.append(s)
+                coss.append(c)
+            return jnp.concatenate(sins + coss + [p], axis=-1)
+    else:
+        def embed(o, d):
+            y = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
+                 + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
+            if "nosincos" in diag:   # diagnostic: skip the trig VPU passes
+                return y
+            return jnp.where(sinm_ref[:] != 0, jnp.sin(y),
+                             jnp.where(cosm_ref[:] != 0, jnp.cos(y), y))
 
     def head(x):
         h = jnp.dot(x.astype(wdt), head_w_ref[:],
                     preferred_element_type=f32) + head_b_ref[:]
-        return jnp.maximum(h, 0.0)
+        h = jnp.maximum(h, 0.0)
+        return h.astype(wdt) if bf16_epilogue else h
 
-    def block(i, h):
-        w1 = body_w_ref[i, 0]
-        w2 = body_w_ref[i, 1]
-        b1 = body_b_ref[i, 0]
-        b2 = body_b_ref[i, 1]
-        g = jnp.dot(h.astype(wdt), w1, preferred_element_type=f32) + b1
-        g = jnp.maximum(g, 0.0)
-        g = jnp.dot(g.astype(wdt), w2, preferred_element_type=f32) + b2
-        return g * res_scale + h
+    if bf16_epilogue:
+        # Keep the inter-block activation in bf16: the matmul still
+        # accumulates f32 inside the MXU (Mosaic requires a 32-bit acc) but
+        # the result is narrowed immediately and the whole epilogue
+        # (bias+relu / residual add) runs as bf16 VPU work with half the
+        # bytes and no separate f32->bf16 cast pass before the next matmul.
+        # The serial MXU->VPU chain is what holds the default kernel at
+        # ~63% of peak (measured); see docs/PERF.md.
+        def block(i, h):
+            g = jnp.dot(h, body_w_ref[i, 0],
+                        preferred_element_type=f32).astype(wdt)
+            g = jnp.maximum(g + body_b_ref[i, 0].astype(wdt), 0)
+            g = jnp.dot(g, body_w_ref[i, 1],
+                        preferred_element_type=f32).astype(wdt)
+            g = g + body_b_ref[i, 1].astype(wdt)
+            if res_scale != 1.0:
+                g = g * jnp.asarray(res_scale, wdt)
+            return g + h
+    elif "noepi" in diag:
+        # diagnostic: matmul+relu only (wrong results) — isolates how much
+        # of the gap to MXU peak the bias/residual/cast epilogue costs
+        def block(i, h):
+            g = jnp.dot(h.astype(wdt), body_w_ref[i, 0],
+                        preferred_element_type=f32).astype(wdt)
+            g = jnp.dot(jnp.maximum(g, 0), body_w_ref[i, 1],
+                        preferred_element_type=f32).astype(wdt)
+            return g
+    else:
+        def block(i, h):
+            w1 = body_w_ref[i, 0]
+            w2 = body_w_ref[i, 1]
+            b1 = body_b_ref[i, 0]
+            b2 = body_b_ref[i, 1]
+            g = jnp.dot(h.astype(wdt), w1, preferred_element_type=f32) + b1
+            g = jnp.maximum(g, 0.0)
+            g = jnp.dot(g.astype(wdt), w2, preferred_element_type=f32) + b2
+            return g * res_scale + h
 
     def tail(h):
         t = jnp.dot(h.astype(wdt), tail_w_ref[:],
@@ -247,7 +339,9 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
                       res_scale: float = 1.0, use_global_residual: bool = False,
                       linear_tail: bool = False, dtype=jnp.bfloat16,
                       unroll_body: bool = True, resident_weights: bool = False,
-                      interleave: int = 1, interpret: bool = False):
+                      interleave: int = 1, bf16_epilogue: bool = False,
+                      fast_embed: bool = True, diag: str = "",
+                      interpret: bool = False):
     """Fused inference forward. rays_o/rays_d: [B, 3] -> rgb [B, out_dim].
 
     Requires the uniform-width scan-body R2LNet layout (n_learnable=2,
@@ -262,14 +356,28 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
     """
     if linear_tail:
         raise NotImplementedError("fused path covers the sigmoid-tail profile")
+    if diag:
+        fast_embed = False  # diagnostics time the naive embed path
     packed = pack_r2l_weights(params, dtype)
     n_block = packed["body_w"].shape[0]
     width = packed["body_w"].shape[-1]
     in_dim = packed["head_w"].shape[0]
 
-    P1, P2, mode = embed_constants(n_sample, L, near, far)
-    sin_mask = (mode == 0).astype(jnp.int32)[None, :]
-    cos_mask = (mode == 1).astype(jnp.int32)[None, :]
+    if fast_embed:
+        # doubling embed: base-angle constants + head rows permuted into
+        # the [sins | coss | p] block layout (see _kernel's embed)
+        A, Bz = _point_constants_np(n_sample, float(near), float(far))
+        P1, P2 = jnp.asarray(A), jnp.asarray(Bz)
+        perm = _doubling_head_perm_np(n_sample, L)
+        packed["head_w"] = packed["head_w"][jnp.asarray(perm)]
+        p_cols = A.shape[1]
+        sin_mask = jnp.zeros((1, p_cols), jnp.int32)
+        cos_mask = jnp.zeros((1, p_cols), jnp.int32)
+    else:
+        P1, P2, mode = embed_constants(n_sample, L, near, far)
+        sin_mask = (mode == 0).astype(jnp.int32)[None, :]
+        cos_mask = (mode == 1).astype(jnp.int32)[None, :]
+        p_cols = in_dim
 
     B = rays_o.shape[0]
     n_tiles = -(-B // tile_b)
@@ -285,10 +393,10 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
     small_specs = [
         pl.BlockSpec((tile_b, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_b, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        const_spec((3, in_dim)),
-        const_spec((3, in_dim)),
-        const_spec((1, in_dim)),
-        const_spec((1, in_dim)),
+        const_spec((3, p_cols)),
+        const_spec((3, p_cols)),
+        const_spec((1, p_cols)),
+        const_spec((1, p_cols)),
     ]
     out_spec = pl.BlockSpec((tile_b, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -327,7 +435,8 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
         kernel = functools.partial(
             _kernel, n_block=n_block, res_scale=res_scale,
             use_global_residual=use_global_residual, unroll_body=unroll_body,
-            interleave=interleave)
+            interleave=interleave, bf16_epilogue=bf16_epilogue,
+            fast_embed=fast_embed, n_freq=L, diag=diag)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),

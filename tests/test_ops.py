@@ -36,7 +36,9 @@ def test_linearized_embed_perturb_path(rng):
 
 @pytest.mark.parametrize("use_global_residual", [False, True])
 def test_megakernel_interpret_matches_flax(use_global_residual, rng):
-    """Pallas megakernel (interpret mode, f32) vs the reference flax forward."""
+    """Pallas megakernel (interpret mode, f32) vs the reference flax forward,
+    for both the exact per-column trig embed and the double-angle recurrence
+    embed (fast_embed, the production default)."""
     from efficient_nerf_tpu.ops.pallas.r2l_forward import r2l_forward_fused
 
     n_sample, L, depth, width = 4, 10, 6, 128
@@ -53,11 +55,14 @@ def test_megakernel_interpret_matches_flax(use_global_residual, rng):
     x = ray_embed(sample_ray_points(o, d, 2.0, 6.0, n_sample), L)
     want = model.apply({"params": params}, x)
 
-    got = r2l_forward_fused(params, o, d, 2.0, 6.0, n_sample, L,
-                            tile_b=16, dtype=jnp.float32, interpret=True,
-                            use_global_residual=use_global_residual)
-    assert got.shape == (B, 3)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    for fast in (False, True):
+        got = r2l_forward_fused(params, o, d, 2.0, 6.0, n_sample, L,
+                                tile_b=16, dtype=jnp.float32, interpret=True,
+                                use_global_residual=use_global_residual,
+                                fast_embed=fast)
+        assert got.shape == (B, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=f"fast_embed={fast}")
 
 
 def test_teacher_megakernel_interpret_matches_flax(rng):
