@@ -118,7 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["rand_pixel", "rand_patch"])
     add("--freeze_pretrained", type=_boolish, nargs="?", const=True, default=False)
     add("--focal_scale", type=float, default=1.0)
-    add("--data_mode", type=str, default="images", choices=["images", "rays"])
+    add("--data_mode", type=str, default="images",
+        choices=["images", "rays", "patches"])
     add("--rm_existing_data", type=_boolish, nargs="?", const=True, default=False)
     add("--num_workers", type=int, default=8)
     add("--hard_ratio", type=str, default="")

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from .rays import get_rays, plucker_rays
 from .sampling import linear_zvals, stratify_zvals
 
-__all__ = ["sample_ray_points", "sample_image_points"]
+__all__ = ["sample_ray_points", "sample_image_points",
+           "sample_patch_points"]
 
 
 def sample_ray_points(rays_o, rays_d, near: float, far: float, n_sample: int,
@@ -38,6 +39,33 @@ def sample_ray_points(rays_o, rays_d, near: float, far: float, n_sample: int,
     z = jnp.broadcast_to(z, rays_o.shape[:-1] + (n_sample,))
     if perturb:
         z = stratify_zvals(key, z, t_rand)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
+    return pts.reshape(pts.shape[:-2] + (n_sample * 3,))
+
+
+def sample_patch_points(rays_o, rays_d, near: float, far: float,
+                        n_sample: int, key: Optional[jax.Array] = None,
+                        perturb: bool = False, t_rand=None):
+    """CNN-style patch sampling: rays [N, ph, pw, 3] -> [N, ph, pw, S*3].
+
+    Parity with reference PointSampler.sample_train2 / sample_train_cnnstyle
+    (nerf_raybased.py:129-173): the stratified jitter draws ONE uniform per
+    patch/image (t_rand [N]) broadcast over all pixels and samples — the
+    whole patch shifts coherently — unlike the per-ray-per-sample jitter of
+    sample_ray_points. The flattened per-pixel layout matches
+    PositionalEmbedder.embed_cnnstyle composed with a reshape.
+    """
+    N = rays_o.shape[0]
+    z = linear_zvals(near, far, n_sample)  # [S]
+    z = jnp.broadcast_to(z, rays_o.shape[:-1] + (n_sample,))
+    if perturb:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        if t_rand is None:
+            t_rand = jax.random.uniform(key, (N,))
+        t = t_rand.reshape((N,) + (1,) * (z.ndim - 1))
+        z = lower + (upper - lower) * t
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
     return pts.reshape(pts.shape[:-2] + (n_sample * 3,))
 

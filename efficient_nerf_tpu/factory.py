@@ -61,6 +61,23 @@ def _r2l_from_args(args, input_dim: int) -> R2LNet:
     body_arch = args.trial.body_arch if trial_on else "mlp"
     out_dim = {"": 3, "depth": 4, "surface": 6}[
         getattr(args, "learn_depth", "") or ""]
+    if getattr(args, "data_mode", "") == "patches":
+        # CNN-style patch student: consumes the 16x16patches/3x3rays shards
+        # (reference --body_arch/--use_bn/--kernel_size, option.py:297-304)
+        from .models import R2LConvNet
+
+        return R2LConvNet(
+            input_dim=input_dim,
+            depth=args.netdepth,
+            width=args.netwidth,
+            output_dim=out_dim,
+            kernel_size=args.kernel_size,
+            body_arch=args.body_arch,
+            use_bn=bool(args.use_bn),
+            act=args.act,
+            res_scale=args.trial.res_scale if trial_on else 1.0,
+            dtype=_compute_dtype(args),
+        )
     return R2LNet(
         input_dim=input_dim,
         depth=args.netdepth,
@@ -149,7 +166,11 @@ def create_models(args, near: float, far: float, key=None) -> Bundle:
     else:
         input_dim = ray_embed_dim(args.n_sample_per_ray * 3, args.multires)
     model = _r2l_from_args(args, input_dim)
-    params = model.init(key, jnp.zeros((1, input_dim)))["params"]
+    if getattr(args, "data_mode", "") == "patches":
+        variables = model.init(key, jnp.zeros((1, 4, 4, input_dim)))
+    else:
+        variables = model.init(key, jnp.zeros((1, input_dim)))
+    params = variables["params"]
 
     if args.pretrained_ckpt:
         params, history, restored_opt_state = _load_r2l_ckpt(

@@ -38,7 +38,8 @@ from .data.rays_dataset import RayShardDataset, ShardLoader, infinite_indices
 from .evaluate import render_path
 from .factory import Bundle, create_models
 from .train.hard_mining import hard_pool_init
-from .train.steps import (TrainState, init_train_state, make_r2l_train_step,
+from .train.steps import (TrainState, init_train_state,
+                          make_patch_train_step, make_r2l_train_step,
                           make_teacher_train_step)
 from .train.checkpoints import save_checkpoint
 from .utils.images import save_video
@@ -494,6 +495,32 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
 
         return (lambda: next(holder["loader"])), reload
 
+    if args.data_mode == "patches":
+        # CNN-style: [items, ph, pw, D] shards from the 16x16patches /
+        # 3x3rays / rand_tworays creation modes feed the conv student
+        holder = {}
+        dim_rgb = {"": 3, "depth": 4, "surface": 6}[args.learn_depth or ""]
+
+        def build():
+            ds = RayShardDataset(datadir_kd, dim_rgb=dim_rgb,
+                                 hold_ratio=args.pseudo_data_hold_ratio,
+                                 pseudo_ratio=args.pseudo_ratio, rng=rng)
+            if "loader" in holder:
+                holder["loader"].close()
+            # native reader is 2-D-shard-only; patch shards are 4-D
+            holder["loader"] = ShardLoader(ds, args.N_rand, rng=rng,
+                                           use_native=False,
+                                           num_threads=args.num_workers and 2)
+            log(f"Loaded patch shard dataset: {len(ds)} files")
+
+        build()
+
+        def reload(step):
+            if step % args.i_update_data == 0:
+                build()
+
+        return (lambda: next(holder["loader"])), reload
+
     # images mode: sample pixels from random (real or pseudo) frames
     holder = {}
 
@@ -527,28 +554,42 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
     next_batch, reload = _make_r2l_data_iterator(args, scene, bundle, rng,
                                                  logger)
 
-    # hard mining config (reference main.py:1324-1337)
+    patch_mode = args.data_mode == "patches" and not args.stream_pseudo_data
     hard = None
     pool = hard_pool_init(1)
     probe = next_batch()
-    batch_size = probe[0].shape[0]
-    if args.hard_ratio:
-        if isinstance(args.hard_ratio, list):
-            n_hard_in = int(args.hard_ratio[0] * batch_size)
-            n_hard_out = int(args.hard_ratio[1] * batch_size)
-        else:
-            n_hard_in = n_hard_out = int(args.hard_ratio * batch_size)
-        n_hard_in = min(n_hard_in, n_hard_out)
-        hard = (n_hard_in, n_hard_out)
-        pool = hard_pool_init(int(batch_size * args.hard_mul),
-                              row_dim=3 + 3 + probe[2].shape[-1])
+    if patch_mode:
+        # Conv student over patch shards. Hard mining is ray-granular and
+        # does not apply; the `pool` slot carries the flax batch_stats
+        # collection instead (empty unless --use_bn).
+        variables = bundle.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, bundle.input_dim)))
+        pool = variables.get("batch_stats", {})
+        step_fn = make_patch_train_step(
+            bundle.model, bundle.optimizer, near=scene.near, far=scene.far,
+            n_sample=args.n_sample_per_ray, L=args.multires,
+            perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
+            use_bn=bool(args.use_bn), donate=False)
+    else:
+        # hard mining config (reference main.py:1324-1337)
+        batch_size = probe[0].shape[0]
+        if args.hard_ratio:
+            if isinstance(args.hard_ratio, list):
+                n_hard_in = int(args.hard_ratio[0] * batch_size)
+                n_hard_out = int(args.hard_ratio[1] * batch_size)
+            else:
+                n_hard_in = n_hard_out = int(args.hard_ratio * batch_size)
+            n_hard_in = min(n_hard_in, n_hard_out)
+            hard = (n_hard_in, n_hard_out)
+            pool = hard_pool_init(int(batch_size * args.hard_mul),
+                                  row_dim=3 + 3 + probe[2].shape[-1])
 
-    step_fn = make_r2l_train_step(
-        bundle.model, bundle.optimizer, near=scene.near, far=scene.far,
-        n_sample=args.n_sample_per_ray, L=args.multires,
-        perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
-        learn_depth=bool(args.learn_depth), lw_depth=args.lw_depth,
-        plucker=args.plucker, hard=hard, donate=False)
+        step_fn = make_r2l_train_step(
+            bundle.model, bundle.optimizer, near=scene.near, far=scene.far,
+            n_sample=args.n_sample_per_ray, L=args.multires,
+            perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
+            learn_depth=bool(args.learn_depth), lw_depth=args.lw_depth,
+            plucker=args.plucker, hard=hard, donate=False)
     state = init_train_state(bundle.params, bundle.optimizer)
     if bundle.restored_opt_state is not None:
         state = state._replace(opt_state=bundle.restored_opt_state)

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["R2LNet", "ResBlock", "get_activation"]
+__all__ = ["R2LNet", "R2LConvNet", "ResBlock", "get_activation"]
 
 
 def get_activation(name: str):
@@ -151,3 +151,70 @@ class R2LNet(nn.Module):
         if not self.linear_tail:
             x = nn.sigmoid(x)
         return x.astype(jnp.float32)
+
+
+class R2LConvNet(nn.Module):
+    """CNN-style patch student: the reference's vestigial conv ablation
+    surface made trainable.
+
+    The reference ships the pieces — patch samplers
+    (PointSampler.sample_train2/sample_train_cnnstyle,
+    nerf_raybased.py:129-173), an unflattened embedder (embed_cnnstyle,
+    :218-223), NCHW-compat input permute (NeRF_v3_2.forward :539-541),
+    16x16patches/3x3rays data-creation modes (create_data.py), and flags
+    --body_arch {conv,resblock} --use_bn --kernel_size --padding
+    (option.py:297-304) — but no driver consumes them. This module is that
+    consumer: head 1x1 conv -> body of conv layers ('conv') or residual
+    conv pairs ('resblock'), optional BatchNorm, -> 1x1 conv + sigmoid tail.
+
+    Input [N, ph, pw, C] (NHWC — TPU-native layout; the reference's NCHW
+    permute is torch-idiom, not spec). Body convs use SAME padding so patch
+    geometry and residual shapes stay static (the accepted --padding int is
+    documented as subsumed, docs/COMPONENTS.md): XLA maps these convs onto
+    the MXU as implicit-GEMMs.
+    """
+
+    input_dim: int
+    depth: int = 6
+    width: int = 64
+    output_dim: int = 3
+    kernel_size: int = 3
+    body_arch: str = "resblock"  # 'conv' | 'resblock'
+    use_bn: bool = False
+    act: str = "relu"
+    res_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_activation(self.act) or (lambda v: v)
+        k = (self.kernel_size, self.kernel_size)
+
+        def conv(ch, name, kernel=k):
+            return nn.Conv(ch, kernel, padding="SAME", name=name,
+                           dtype=self.dtype)
+
+        def maybe_bn(h, name):
+            if not self.use_bn:
+                return h
+            return nn.BatchNorm(use_running_average=not train, name=name,
+                                dtype=self.dtype)(h)
+
+        h = act(maybe_bn(conv(self.width, "head", (1, 1))(x), "head_bn"))
+
+        if self.body_arch == "conv":
+            for i in range(1, self.depth - 1):
+                h = act(maybe_bn(conv(self.width, f"body_{i - 1}")(h),
+                                 f"body_bn_{i - 1}"))
+        else:  # residual conv pairs (ResMLP with spatial support)
+            n_block = max(1, (self.depth - 2) // 2)
+            for b in range(n_block):
+                g = act(maybe_bn(conv(self.width, f"block{b}_conv0")(h),
+                                 f"block{b}_bn0"))
+                g = maybe_bn(conv(self.width, f"block{b}_conv1")(g),
+                             f"block{b}_bn1")
+                h = g * jnp.asarray(self.res_scale, g.dtype) + h
+
+        h = nn.Conv(self.output_dim, (1, 1), padding="SAME", name="tail",
+                    dtype=self.dtype)(h)
+        return nn.sigmoid(h).astype(jnp.float32)

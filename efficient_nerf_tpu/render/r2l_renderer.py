@@ -19,12 +19,19 @@ from ..core.rays import plucker_rays
 __all__ = ["r2l_forward_rays", "r2l_render_image", "make_r2l_forward"]
 
 
+def _is_conv(model) -> bool:
+    from ..models import R2LConvNet
+
+    return isinstance(model, R2LConvNet)
+
+
 def _fused_eligible(model, plucker: bool, perturb: bool) -> bool:
     """The Pallas megakernel covers the flagship profile: uniform-width
     resmlp scan body, relu in-act, sigmoid tail, eval mode, non-Plucker."""
     from ..ops import fused_r2l_available
 
-    return (not plucker and not perturb
+    return (not _is_conv(model)
+            and not plucker and not perturb
             and model.body_arch == "resmlp"
             and not model.layerwise_widths
             and model.n_learnable == 2
@@ -37,7 +44,7 @@ def _fused_eligible(model, plucker: bool, perturb: bool) -> bool:
 def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
                      n_sample: int, L: int = 10, plucker: bool = False,
                      key: Optional[jax.Array] = None, perturb: bool = False,
-                     allow_fused: bool = True):
+                     allow_fused: bool = True, batch_stats=None):
     """[B, 3] rays -> [B, output_dim] colors.
 
     Eval-mode calls on TPU dispatch to the fused Pallas megakernel when the
@@ -56,6 +63,13 @@ def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
         pts = sample_ray_points(rays_o, rays_d, near, far, n_sample,
                                 key=key, perturb=perturb)
     x = ray_embed(pts, L)
+    if _is_conv(model):
+        # arbitrary ray sets have no patch geometry: evaluate as 1x1
+        # patches (SAME-padded convs reduce to their center taps)
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        return model.apply(v, x[:, None, None, :]).reshape(x.shape[0], -1)
     return model.apply({"params": params}, x)
 
 
@@ -72,7 +86,7 @@ def make_r2l_forward(model, near: float, far: float, n_sample: int,
 
 def r2l_render_image(model, params, c2w, H: int, W: int, focal: float,
                      near: float, far: float, n_sample: int, L: int = 10,
-                     plucker: bool = False, chunk: int = 0):
+                     plucker: bool = False, chunk: int = 0, batch_stats=None):
     """Render a full frame. chunk=0 -> the whole frame in one XLA call
     (the fast path: H*W x width matmuls saturate the MXU)."""
     if _fused_eligible(model, plucker, perturb=False):
@@ -85,6 +99,13 @@ def r2l_render_image(model, params, c2w, H: int, W: int, focal: float,
     pts = sample_image_points(c2w, H, W, focal, near, far, n_sample,
                               plucker=plucker)
     x = ray_embed(pts, L)
+    if _is_conv(model):
+        # the full frame IS one big patch for the conv student
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        rgb = model.apply(v, x.reshape(1, H, W, x.shape[-1]))
+        return rgb.reshape(H, W, -1)
     if chunk and chunk < x.shape[0]:
         n = x.shape[0]
         n_chunks = -(-n // chunk)

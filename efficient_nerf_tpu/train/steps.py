@@ -14,13 +14,13 @@ import jax.numpy as jnp
 import optax
 
 from ..core.encoding import ray_embed
-from ..core.ray_sampler import sample_ray_points
+from ..core.ray_sampler import sample_patch_points, sample_ray_points
 from ..core.rays import plucker_rays
 from ..render.renderer import RenderConfig, render_rays
 from .hard_mining import HardPool, pick_hard_rays, update_hard_pool
 
 __all__ = ["TrainState", "init_train_state", "make_r2l_train_step",
-           "make_teacher_train_step", "mse_to_psnr"]
+           "make_patch_train_step", "make_teacher_train_step", "mse_to_psnr"]
 
 
 class TrainState(NamedTuple):
@@ -112,6 +112,65 @@ def make_r2l_train_step(
             "psnr": mse_to_psnr(loss_rgb / lw_rgb),
         }
         return TrainState(params, opt_state, state.step + 1), pool, metrics
+
+    if not jit:
+        return step
+    dn = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=dn)
+
+
+def make_patch_train_step(
+    model,
+    optimizer,
+    *,
+    near: float,
+    far: float,
+    n_sample: int,
+    L: int = 10,
+    perturb: bool = True,
+    lw_rgb: float = 1.0,
+    use_bn: bool = False,
+    donate: bool = True,
+    jit: bool = True,
+):
+    """Jitted CNN-style patch distillation step (R2LConvNet consumer of the
+    16x16patches / 3x3rays / rand_tworays creation modes).
+
+    step(state, batch_stats, key, rays_o, rays_d, target) ->
+        (state, batch_stats, metrics)
+
+    rays/target: [N, ph, pw, 3]. Stratified jitter is per-PATCH (one uniform
+    per patch, reference sample_train2 semantics). batch_stats is the flax
+    BatchNorm collection ({} when use_bn=False — threaded through unchanged
+    so the step signature is uniform).
+    """
+
+    def step(state: TrainState, batch_stats, key, rays_o, rays_d, target):
+        pts = sample_patch_points(rays_o, rays_d, near, far, n_sample,
+                                  key=key, perturb=perturb)
+        x = ray_embed(pts, L)
+
+        def loss_fn(params):
+            if use_bn:
+                rgb, upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=True, mutable=["batch_stats"])
+                new_bs = upd["batch_stats"]
+            else:
+                rgb = model.apply({"params": params}, x, train=True)
+                new_bs = batch_stats
+            loss_rgb = jnp.mean((rgb - target) ** 2) * lw_rgb
+            return loss_rgb, new_bs
+
+        (loss_rgb, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss_rgb": loss_rgb, "loss_depth": jnp.zeros(()),
+                   "psnr": mse_to_psnr(loss_rgb / lw_rgb)}
+        return (TrainState(params, opt_state, state.step + 1), new_bs,
+                metrics)
 
     if not jit:
         return step

@@ -87,3 +87,31 @@ def test_create_data_patch_modes(blender_dir, tmp_path):
         assert n >= 1
         d = np.load(os.path.join(kd, "data_1.npy"))
         assert d.shape[1:] == shape + (9,)
+
+
+def test_patch_mode_student_trains_on_patch_shards(blender_dir, tmp_path):
+    """End-to-end CNN-style path: teacher -> 3x3rays patch shards ->
+    --data_mode patches trains the conv student (R2LConvNet) on them.
+    The reference ships all the pieces but no consumer (VERDICT gap)."""
+    ckpt = _teacher_ckpt(blender_dir, tmp_path)
+    kd = str(tmp_path / "kd_patch_train")
+    args = _cd_args(blender_dir, tmp_path, ckpt, "3x3rays", kd,
+                    ["--patch_items_per_shard", "4"])
+    n = create_data(args, Logger(args, basedir=args.basedir))
+    assert n >= 1
+
+    targs = parse_args([
+        "--datadir", blender_dir, "--dataset_type", "blender",
+        "--basedir", str(tmp_path / "logs"), "--expname", "patch_student",
+        "--model_name", "R2L", "--data_mode", "patches",
+        "--datadir_kd", f"blender:{kd}",
+        "--netdepth", "4", "--netwidth", "16",
+        "--n_sample_per_ray", "4", "--kernel_size", "3",
+        "--body_arch", "resblock", "--use_bn",
+        "--N_rand", "1", "--N_iters", "3", "--white_bkgd",
+        "--i_testset", "1000000", "--i_video", "1000000",
+        "--i_weights", "1000000", "--i_print", "1", "--testskip", "1",
+        "--lrate", "5e-4", "--hard_ratio", "",
+    ])
+    logger = Logger(targs, basedir=targs.basedir)
+    train(targs, logger, max_iters=3)  # smoke: compiles + steps, no NaNs

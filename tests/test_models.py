@@ -160,3 +160,28 @@ def test_flops_match_paper_table2():
     assert abs(r2l_flops_per_pixel(1008, 88, 256) / 1e6 - 11.79) < 0.05
     # Teacher NeRF: 303.82 MFLOPs/pixel at 64 + 64 + 128 evals
     assert abs(nerf_flops_per_pixel() / 1e6 - 303.82) < 0.5
+
+
+def test_r2l_conv_net_shapes_and_bn(rng):
+    """R2LConvNet: NHWC patch forward for both body archs, BN collections,
+    output in (0,1) from the sigmoid tail."""
+    from efficient_nerf_tpu.models import R2LConvNet
+
+    C = 4 * 3 * 21
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, C)).astype(np.float32))
+    for arch in ("conv", "resblock"):
+        m = R2LConvNet(input_dim=C, depth=6, width=16, body_arch=arch,
+                       kernel_size=3, use_bn=False)
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        y = m.apply({"params": p}, x)
+        assert y.shape == (2, 8, 8, 3)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    m = R2LConvNet(input_dim=C, depth=4, width=16, use_bn=True)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in v
+    y, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 8, 8, 3) and "batch_stats" in upd
+    # eval mode consumes running stats without mutation
+    y2 = m.apply(v, x, train=False)
+    assert np.isfinite(np.asarray(y2)).all()

@@ -55,7 +55,7 @@ from efficient_nerf_tpu.core.encoding import nerf_embed, ray_embed  # noqa: E402
 from efficient_nerf_tpu.core.rays import (  # noqa: E402
     get_rays, ndc_rays, plucker_rays)
 from efficient_nerf_tpu.core.ray_sampler import (  # noqa: E402
-    sample_image_points, sample_ray_points)
+    sample_image_points, sample_patch_points, sample_ray_points)
 from efficient_nerf_tpu.core.sampling import sample_pdf  # noqa: E402
 from efficient_nerf_tpu.core.volume import raw2outputs  # noqa: E402
 from efficient_nerf_tpu.core.poses import pose_spherical  # noqa: E402
@@ -395,6 +395,49 @@ def test_r2l_sample_test_matches_reference_pointsampler():
     got_p = sample_image_points(np.asarray(c2w), H, W, focal, 2.0, 6.0,
                                 n_sample, plucker=True)
     np.testing.assert_allclose(np.asarray(got_p), want_p, atol=1e-5)
+
+
+def test_patch_sampler_matches_reference_cnnstyle(rng):
+    """sample_patch_points vs PointSampler.sample_train2 /
+    sample_train_cnnstyle (identical bodies, nerf_raybased.py:129-173):
+    deterministic path, flattened per-pixel layout, and the per-image
+    (not per-ray) jitter broadcast."""
+    n_sample = 5
+    sampler = RefPointSampler(4, 4, 10.0, n_sample, 2.0, 6.0)
+    embedder = RefPositionalEmbedder(10)
+    N, ph, pw = 3, 4, 6
+    rays_o = rng.normal(size=(N, ph, pw, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(N, ph, pw, 3)).astype(np.float32)
+
+    want_pts = sampler.sample_train2(_t(rays_o), _t(rays_d), perturb=0)
+    got = sample_patch_points(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                              2.0, 6.0, n_sample)
+    np.testing.assert_allclose(
+        np.asarray(got), want_pts.reshape(N, ph, pw, -1).numpy(), atol=1e-5)
+
+    # embed_cnnstyle composed with a flatten == ray_embed of flattened pts
+    want_emb = embedder.embed_cnnstyle(want_pts.reshape(N, ph, pw,
+                                                        n_sample, 3))
+    got_emb = ray_embed(jnp.asarray(got), 10)
+    np.testing.assert_allclose(np.asarray(got_emb),
+                               want_emb.reshape(N, ph, pw, -1).numpy(),
+                               atol=1e-5)
+
+    # jitter is ONE uniform per image broadcast over pixels and samples
+    t_rand = rng.uniform(size=(N,)).astype(np.float32)
+    got_j = np.asarray(sample_patch_points(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), 2.0, 6.0, n_sample,
+        perturb=True, t_rand=jnp.asarray(t_rand)))
+    # replicate the reference math (sample_train2 lower/upper/t_rand expand)
+    z = np.linspace(2.0, 6.0, n_sample, dtype=np.float32)
+    z = np.broadcast_to(z, (N, ph, pw, n_sample))
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    upper = np.concatenate([mids, z[..., -1:]], -1)
+    lower = np.concatenate([z[..., :1], mids], -1)
+    zj = lower + (upper - lower) * t_rand[:, None, None, None]
+    want_j = (rays_o[..., None, :] + rays_d[..., None, :]
+              * zj[..., :, None]).reshape(N, ph, pw, -1)
+    np.testing.assert_allclose(got_j, want_j, atol=1e-5)
 
 
 def test_r2l_train_plucker_matches_reference(rng):
