@@ -189,6 +189,10 @@ def build_parser() -> argparse.ArgumentParser:
              "batch (fractional allowed)")
     add("--stream_warmup_frames", type=int, default=4,
         help="streaming generator: frames rendered before the first batch")
+    add("--exact_embed", type=_boolish, nargs="?", const=True, default=False,
+        help="use exact per-frequency sin/cos positional encodings instead "
+             "of the double-angle recurrence (~1e-4 abs embed error, ~Lx "
+             "fewer VPU transcendentals); for bit-strict parity runs")
     add("--flip_reference_domain", type=_boolish, nargs="?", const=True,
         default=False,
         help="feed FLIP the [-1,1]-rescaled tensors exactly like the "

@@ -48,6 +48,7 @@ def render_config_from_args(args, near: float, far: float) -> RenderConfig:
         near=float(near),
         far=float(far),
         chunk=args.chunk,
+        fast_embed=not getattr(args, "exact_embed", False),
     )
 
 

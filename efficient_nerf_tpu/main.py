@@ -569,7 +569,8 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
             bundle.model, bundle.optimizer, near=scene.near, far=scene.far,
             n_sample=args.n_sample_per_ray, L=args.multires,
             perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
-            use_bn=bool(args.use_bn), donate=False)
+            use_bn=bool(args.use_bn),
+            fast_embed=not args.exact_embed, donate=False)
     else:
         # hard mining config (reference main.py:1324-1337)
         batch_size = probe[0].shape[0]
@@ -589,7 +590,8 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
             n_sample=args.n_sample_per_ray, L=args.multires,
             perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
             learn_depth=bool(args.learn_depth), lw_depth=args.lw_depth,
-            plucker=args.plucker, hard=hard, donate=False)
+            plucker=args.plucker, hard=hard,
+            fast_embed=not args.exact_embed, donate=False)
     state = init_train_state(bundle.params, bundle.optimizer)
     if bundle.restored_opt_state is not None:
         state = state._replace(opt_state=bundle.restored_opt_state)

@@ -59,6 +59,11 @@ class RenderConfig:
     # (XLA's fused big-M matmul chain reaches the same ~100 bf16-TFLOP/s
     # serial MXU+VPU floor) — see docs/PERF.md.
     fused_teacher: bool = False
+    # double-angle-recurrence positional encoding (~Lx fewer VPU
+    # transcendentals, ~1e-4 abs error — see core/encoding._doubling_sincos).
+    # Default on; the strict reference-parity gates pin it off
+    # (--exact_embed on the CLI).
+    fast_embed: bool = True
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise."""
@@ -107,9 +112,9 @@ def _query(model, params, pts, viewdirs, cfg: RenderConfig):
                                   cfg.multires, cfg.multires_views,
                                   skip=tuple(model.skips)[0],
                                   dtype=model.dtype)
-    emb = nerf_embed(pts, cfg.multires)
+    emb = nerf_embed(pts, cfg.multires, fast=cfg.fast_embed)
     if cfg.use_viewdirs:
-        dirs = nerf_embed(viewdirs, cfg.multires_views)
+        dirs = nerf_embed(viewdirs, cfg.multires_views, fast=cfg.fast_embed)
         dirs = jnp.broadcast_to(dirs[..., None, :], pts.shape[:-1] + (dirs.shape[-1],))
         emb = jnp.concatenate([emb, dirs], axis=-1)
     return model.apply({"params": params}, emb)

@@ -51,6 +51,7 @@ def make_r2l_train_step(
     lw_depth: float = 0.1,
     plucker: bool = False,
     hard: Optional[Tuple[int, int]] = None,  # (n_hard_in, n_hard_out)
+    fast_embed: bool = True,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -83,7 +84,7 @@ def make_r2l_train_step(
                 pts = sample_ray_points(rays_o_aug, rays_d_aug, near, far,
                                         n_sample, key=k_perturb,
                                         perturb=perturb)
-            x = ray_embed(pts, L)
+            x = ray_embed(pts, L, fast=fast_embed)
             out = model.apply({"params": params}, x)
             per_ray_mse = jnp.mean(
                 (out[:, :3] - target_aug[:, :3]) ** 2, axis=-1)
@@ -130,6 +131,7 @@ def make_patch_train_step(
     perturb: bool = True,
     lw_rgb: float = 1.0,
     use_bn: bool = False,
+    fast_embed: bool = True,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -148,7 +150,7 @@ def make_patch_train_step(
     def step(state: TrainState, batch_stats, key, rays_o, rays_d, target):
         pts = sample_patch_points(rays_o, rays_d, near, far, n_sample,
                                   key=key, perturb=perturb)
-        x = ray_embed(pts, L)
+        x = ray_embed(pts, L, fast=fast_embed)
 
         def loss_fn(params):
             if use_bn:

@@ -264,7 +264,8 @@ def _ref_nerf_render(model_c, model_f, rays_o, rays_d, cfg, L=10, Lv=4):
 def ref_teacher_pair(rng):
     D, W = 3, 32
     cfg = RenderConfig(n_samples=6, n_importance=5, perturb=False,
-                       use_viewdirs=True, near=2.0, far=6.0)
+                       use_viewdirs=True, near=2.0, far=6.0,
+                       fast_embed=False)  # bit-strict parity gate
     torch.manual_seed(0)
     tm_c = RefNeRF(D=D, W=W, input_ch=63, input_ch_views=27, skips=[1],
                    use_viewdirs=True)

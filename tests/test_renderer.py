@@ -34,7 +34,8 @@ def test_render_rays_matches_manual_composition(rng):
 
     z = jnp.broadcast_to(linear_zvals(2.0, 6.0, cfg.n_samples), (N, cfg.n_samples))
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    raw = model.apply({"params": p}, nerf_embed(pts, 10))
+    raw = model.apply({"params": p},
+                      nerf_embed(pts, 10, fast=cfg.fast_embed))
     manual = raw2outputs(raw, z, rays_d)
     np.testing.assert_allclose(np.asarray(res.rgb), np.asarray(manual.rgb),
                                atol=1e-6)
@@ -56,8 +57,9 @@ def test_render_rays_fine_pass_deterministic(rng):
     z = jnp.broadcast_to(linear_zvals(2.0, 6.0, cfg.n_samples), (N, cfg.n_samples))
 
     def query(pts):
-        emb = nerf_embed(pts, 10)
-        d = jnp.broadcast_to(nerf_embed(viewdirs, 4)[:, None, :],
+        emb = nerf_embed(pts, 10, fast=cfg.fast_embed)
+        d = jnp.broadcast_to(
+            nerf_embed(viewdirs, 4, fast=cfg.fast_embed)[:, None, :],
                              pts.shape[:-1] + (27,))
         return model.apply({"params": p}, jnp.concatenate([emb, d], -1))
 

@@ -97,7 +97,8 @@ def _torch_render(tm_coarse, tm_fine, rays_o, rays_d, cfg: RenderConfig,
 def teacher_pair(rng):
     D, W = 3, 32
     cfg = RenderConfig(n_samples=6, n_importance=5, perturb=False,
-                       use_viewdirs=True, near=2.0, far=6.0)
+                       use_viewdirs=True, near=2.0, far=6.0,
+                       fast_embed=False)  # bit-strict parity gate
     # Seed: unseeded init weights depend on how many torch RNG draws earlier
     # tests made, which made the atol here order-dependent (flaky).
     torch.manual_seed(0)
