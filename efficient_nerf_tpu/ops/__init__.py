@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 __all__ = ["ray_points_embed", "fused_r2l_available", "r2l_forward_fused",
            "fused_ray_embed_available", "fused_nerf_available",
-           "nerf_forward_fused"]
+           "nerf_forward_fused", "fused_r2l_train_available",
+           "r2l_train_apply"]
 
 
 def _on_tpu() -> bool:
@@ -88,5 +89,28 @@ def ray_points_embed(rays_o, rays_d, near, far, n_sample, L,
 
 def r2l_forward_fused(*args, **kwargs):
     from .pallas.r2l_forward import r2l_forward_fused as impl
+
+    return impl(*args, **kwargs)
+
+
+def fused_r2l_train_available() -> bool:
+    """Fused training fwd+bwd custom-VJP kernel (ops/pallas/r2l_train.py).
+
+    Single-process only: the kernel is not GSPMD-partitionable, so sharded
+    steps (parallel/train.py) keep the XLA path.
+    """
+    if os.environ.get("EFFICIENT_NERF_TPU_NO_PALLAS"):
+        return False
+    if not _on_tpu():
+        return False
+    try:
+        from .pallas import r2l_train  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def r2l_train_apply(*args, **kwargs):
+    from .pallas.r2l_train import r2l_train_apply as impl
 
     return impl(*args, **kwargs)

@@ -1,0 +1,305 @@
+"""Fused R2L training forward+backward (Pallas/Mosaic) behind a custom VJP.
+
+The XLA training step round-trips every one of the 88 layers' [B, 256]
+activations through HBM twice (forward store + backward read) and runs the
+backward as ~260 separate fusions; at the reference batch (20x4096 + 16k
+hard rays, main.py:1324-1347 of /root/reference) that leaves the step ~3x
+off its MXU compute bound (docs/PERF.md). Here one Pallas kernel runs the
+whole forward for a ray tile in VMEM (saving only the 44 block-input
+activations as bf16 residuals), and a second kernel consumes a tile of
+output cotangents and walks the 43 residual blocks in reverse — recomputing
+each block's inner pre-activation (one extra matmul) instead of storing it —
+while accumulating all weight gradients in VMEM-resident f32 output blocks
+across the grid. HBM traffic per ray is x + 44 bf16 activations + dx instead
+of ~7x that, and every matmul (including the [W, T]x[T, W] weight-gradient
+contractions) lands on the MXU in bf16.
+
+Covers the flagship scan-body profile (reference model/nerf_raybased.py:
+443-544 NeRF_v3_2/ResMLP: n_learnable=2, inact relu, outact none, sigmoid
+tail, optional global residual / res_scale). Gradients are returned in the
+flax param-tree structure, so `jax.grad` through `r2l_train_apply` drops
+into the existing optax/train-step machinery unchanged.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .r2l_forward import pack_r2l_weights
+
+__all__ = ["r2l_train_apply"]
+
+LANES = 128
+
+
+class _Profile(NamedTuple):
+    """Hashable static config for the custom_vjp nondiff argument."""
+    res_scale: float
+    use_global_residual: bool
+    tile_b: int
+    dtype: Any
+    interpret: bool
+
+
+def _fwd_kernel(x_ref, head_w_ref, head_b_ref, body_w_ref, body_b_ref,
+                tail_w_ref, tail_b_ref, out_ref, hs_ref, *, n_block: int,
+                res_scale: float, use_global_residual: bool):
+    f32 = jnp.float32
+    wdt = head_w_ref.dtype
+    x = x_ref[:].astype(wdt)
+    h = jnp.maximum(
+        jnp.dot(x, head_w_ref[:], preferred_element_type=f32)
+        + head_b_ref[:], 0.0)
+    h0 = h
+    for i in range(n_block):
+        hs_ref[i] = h.astype(wdt)
+        g = jnp.dot(h.astype(wdt), body_w_ref[i, 0],
+                    preferred_element_type=f32) + body_b_ref[i, 0]
+        g = jnp.maximum(g, 0.0)
+        g = jnp.dot(g.astype(wdt), body_w_ref[i, 1],
+                    preferred_element_type=f32) + body_b_ref[i, 1]
+        h = g * res_scale + h
+    if use_global_residual:
+        h = h + h0
+    hs_ref[n_block] = h.astype(wdt)      # tail input (post global residual)
+    t = jnp.dot(h.astype(wdt), tail_w_ref[:],
+                preferred_element_type=f32) + tail_b_ref[:]
+    out_ref[:] = jax.nn.sigmoid(t)
+
+
+def _bwd_kernel(dout_ref, x_ref, hs_ref, head_w_ref, body_w_ref, body_b_ref,
+                tail_w_ref, tail_b_ref,
+                dhw_ref, dhb_ref, dw_ref, db_ref, dtw_ref, dtb_ref, dx_ref,
+                *, n_block: int, res_scale: float,
+                use_global_residual: bool):
+    f32 = jnp.float32
+    wdt = head_w_ref.dtype
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _init():
+        for ref in (dhw_ref, dhb_ref, dw_ref, db_ref, dtw_ref, dtb_ref):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    # [T, a] x [T, b] -> [a, b] (contract the ray axis: weight gradients)
+    def grad_w(a, b):
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # [T, b] x [a, b] -> [T, a] (contract the feature axis: h @ W^T)
+    def grad_h(g, w):
+        return jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # tail: t = hN @ Wt + bt, out = sigmoid(t). Padded lanes carry dout = 0
+    # so they contribute nothing anywhere downstream.
+    hN = hs_ref[n_block][:]
+    t = jnp.dot(hN, tail_w_ref[:], preferred_element_type=f32) + tail_b_ref[:]
+    out = jax.nn.sigmoid(t)
+    dt = dout_ref[:] * out * (1.0 - out)
+    dt_b = dt.astype(wdt)
+    dtw_ref[:] += grad_w(hN, dt_b)
+    dtb_ref[:] += jnp.sum(dt, axis=0)
+    dh = grad_h(dt_b, tail_w_ref[:])
+    dh_tail = dh                              # for the global residual
+
+    for i in range(n_block - 1, -1, -1):
+        h_in = hs_ref[i][:]
+        # recompute the inner pre-activation (cheaper than storing it:
+        # one matmul vs another 2.2 GB of residual HBM traffic per step)
+        g1 = jnp.maximum(
+            jnp.dot(h_in, body_w_ref[i, 0], preferred_element_type=f32)
+            + body_b_ref[i, 0], 0.0)
+        dg2 = dh * res_scale
+        dg2_b = dg2.astype(wdt)
+        g1_b = g1.astype(wdt)
+        dw_ref[i, 1] += grad_w(g1_b, dg2_b)
+        db_ref[i, 1] += jnp.sum(dg2, axis=0)
+        dg1 = grad_h(dg2_b, body_w_ref[i, 1]) * (g1 > 0.0)
+        dg1_b = dg1.astype(wdt)
+        dw_ref[i, 0] += grad_w(h_in, dg1_b)
+        db_ref[i, 0] += jnp.sum(dg1, axis=0)
+        dh = dh + grad_h(dg1_b, body_w_ref[i, 0])
+
+    if use_global_residual:
+        dh = dh + dh_tail
+    # head: h0 = relu(x @ Wh + bh); the relu mask is recovered from hs[0]
+    # (compare in f32: the target rejects bf16 comparisons)
+    dpre = jnp.where(hs_ref[0][:].astype(f32) > 0, dh, 0.0)
+    dpre_b = dpre.astype(wdt)
+    dhw_ref[:] += grad_w(x_ref[:].astype(wdt), dpre_b)
+    dhb_ref[:] += jnp.sum(dpre, axis=0)
+    dx_ref[:] = grad_h(dpre_b, head_w_ref[:])
+
+
+def _pad_rays(x, tile_b):
+    B = x.shape[0]
+    n_tiles = -(-B // tile_b)
+    pad = n_tiles * tile_b - B
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, n_tiles
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(tile, cols):
+    return pl.BlockSpec((tile, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _compiler_params(interpret):
+    if interpret:
+        return None
+    # resident bf16 weights (~12 MB) + f32 grad accumulators (~24 MB) +
+    # the residual/activation tiles exceed the default 16 MB scoped budget
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _fwd_call(prof: _Profile, packed, x):
+    n_block, width = packed["body_w"].shape[0], packed["body_w"].shape[-1]
+    in_dim = packed["head_w"].shape[0]
+    B = x.shape[0]
+    xp, n_tiles = _pad_rays(x, prof.tile_b)
+    kernel = functools.partial(
+        _fwd_kernel, n_block=n_block, res_scale=prof.res_scale,
+        use_global_residual=prof.use_global_residual)
+    out, hs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _row_spec(prof.tile_b, in_dim),
+            _const_spec((in_dim, width)),
+            _const_spec((width,)),
+            _const_spec((n_block, 2, width, width)),
+            _const_spec((n_block, 2, width)),
+            _const_spec((width, LANES)),
+            _const_spec((LANES,)),
+        ],
+        out_specs=[
+            _row_spec(prof.tile_b, LANES),
+            pl.BlockSpec((n_block + 1, prof.tile_b, width),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_block + 1, n_tiles * prof.tile_b, width),
+                                 prof.dtype),
+        ],
+        compiler_params=_compiler_params(prof.interpret),
+        interpret=prof.interpret,
+    )(xp, packed["head_w"], packed["head_b"], packed["body_w"],
+      packed["body_b"], packed["tail_w"], packed["tail_b"])
+    return out[:B], hs
+
+
+def _bwd_call(prof: _Profile, packed, x, hs, dout):
+    n_block, width = packed["body_w"].shape[0], packed["body_w"].shape[-1]
+    in_dim = packed["head_w"].shape[0]
+    B = x.shape[0]
+    xp, n_tiles = _pad_rays(x, prof.tile_b)
+    doutp, _ = _pad_rays(dout, prof.tile_b)
+    kernel = functools.partial(
+        _bwd_kernel, n_block=n_block, res_scale=prof.res_scale,
+        use_global_residual=prof.use_global_residual)
+    f32 = jnp.float32
+    dhw, dhb, dw, db, dtw, dtb, dx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _row_spec(prof.tile_b, LANES),
+            _row_spec(prof.tile_b, in_dim),
+            pl.BlockSpec((n_block + 1, prof.tile_b, width),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            _const_spec((in_dim, width)),
+            _const_spec((n_block, 2, width, width)),
+            _const_spec((n_block, 2, width)),
+            _const_spec((width, LANES)),
+            _const_spec((LANES,)),
+        ],
+        out_specs=[
+            _const_spec((in_dim, width)),
+            _const_spec((width,)),
+            _const_spec((n_block, 2, width, width)),
+            _const_spec((n_block, 2, width)),
+            _const_spec((width, LANES)),
+            _const_spec((LANES,)),
+            _row_spec(prof.tile_b, in_dim),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((in_dim, width), f32),
+            jax.ShapeDtypeStruct((width,), f32),
+            jax.ShapeDtypeStruct((n_block, 2, width, width), f32),
+            jax.ShapeDtypeStruct((n_block, 2, width), f32),
+            jax.ShapeDtypeStruct((width, LANES), f32),
+            jax.ShapeDtypeStruct((LANES,), f32),
+            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, in_dim), f32),
+        ],
+        compiler_params=_compiler_params(prof.interpret),
+        interpret=prof.interpret,
+    )(doutp, xp, hs, packed["head_w"], packed["body_w"], packed["body_b"],
+      packed["tail_w"], packed["tail_b"])
+    return dhw, dhb, dw, db, dtw, dtb, dx[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _apply(prof: _Profile, params, x):
+    packed = pack_r2l_weights(params, prof.dtype)
+    out, _ = _fwd_call(prof, packed, x)
+    return out[:, :packed["out_dim"]]
+
+
+def _apply_fwd(prof: _Profile, params, x):
+    packed = pack_r2l_weights(params, prof.dtype)
+    out, hs = _fwd_call(prof, packed, x)
+    return out[:, :packed["out_dim"]], (params, x, hs)
+
+
+def _apply_bwd(prof: _Profile, res, dout):
+    params, x, hs = res
+    packed = pack_r2l_weights(params, prof.dtype)
+    out_dim = packed["out_dim"]
+    doutp = jnp.zeros((dout.shape[0], LANES), jnp.float32)
+    doutp = doutp.at[:, :out_dim].set(dout.astype(jnp.float32))
+    dhw, dhb, dw, db, dtw, dtb, dx = _bwd_call(prof, packed, x, hs, doutp)
+    grads = {
+        "head": {"kernel": dhw, "bias": dhb},
+        "body": {
+            "lin_0": {"kernel": dw[:, 0], "bias": db[:, 0]},
+            "lin_1": {"kernel": dw[:, 1], "bias": db[:, 1]},
+        },
+        "tail": {"kernel": dtw[:, :out_dim], "bias": dtb[:out_dim]},
+    }
+    # rebuild with the caller's exact tree type (dict vs FrozenDict)
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    dparams = jax.tree_util.tree_unflatten(treedef, leaves)
+    dparams = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), dparams, params)
+    return dparams, dx.astype(x.dtype)
+
+
+_apply.defvjp(_apply_fwd, _apply_bwd)
+
+
+def r2l_train_apply(params, x, *, res_scale: float = 1.0,
+                    use_global_residual: bool = False, tile_b: int = 512,
+                    dtype=jnp.bfloat16, interpret: bool = False):
+    """Differentiable fused R2L forward: x [B, in_dim] -> rgb [B, out_dim].
+
+    Drop-in for `model.apply({'params': params}, x)` on the uniform
+    scan-body R2LNet profile (n_learnable=2, relu inact, no outact, sigmoid
+    tail). `jax.grad` through this uses the fused Pallas backward; gradients
+    match the XLA path (parity-tested in tests/test_ops.py) and are f32.
+    """
+    prof = _Profile(float(res_scale), bool(use_global_residual), int(tile_b),
+                    dtype, bool(interpret))
+    return _apply(prof, params, x)

@@ -44,6 +44,9 @@ def make_sharded_r2l_train_step(model, optimizer, mesh: Mesh, *,
     replicate_state, or TP via shard_params_tp); batch shardings are pinned
     here and GSPMD propagates the rest.
     """
+    # The fused Pallas VJP kernel is per-chip (not GSPMD-partitionable):
+    # sharded steps keep the XLA apply, which GSPMD splits over 'data'.
+    kw.setdefault("fused", False)
     fun = make_r2l_train_step(model, optimizer, near=near, far=far,
                               n_sample=n_sample, hard=hard, jit=False, **kw)
     bs = batch_sharding(mesh)

@@ -52,6 +52,7 @@ def make_r2l_train_step(
     plucker: bool = False,
     hard: Optional[Tuple[int, int]] = None,  # (n_hard_in, n_hard_out)
     fast_embed: bool = True,
+    fused: Optional[bool] = None,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -61,7 +62,24 @@ def make_r2l_train_step(
         (state, pool, metrics dict)
 
     target is [B, 3] rgb (or [B, 4] with depth when learn_depth).
+
+    fused: use the Pallas fused fwd+bwd custom-VJP kernel for the model
+    apply (ops/pallas/r2l_train.py). None = auto: on when the backend is a
+    TPU and the model matches the uniform scan-body profile. The sharded
+    wrappers (parallel/train.py) pass False — the kernel is per-chip.
     """
+    if fused is None or fused:
+        from ..ops import fused_r2l_train_available
+
+        eligible = (getattr(model, "body_arch", "") == "resmlp"
+                    and not getattr(model, "layerwise_widths", ())
+                    and model.n_learnable == 2 and model.inact == "relu"
+                    and model.outact == "none" and model.act == "relu"
+                    and not model.linear_tail)
+        if fused and not eligible:
+            raise ValueError("fused train step requires the uniform "
+                             "scan-body R2LNet profile")
+        fused = eligible and fused_r2l_train_available()
 
     def step(state: TrainState, pool: HardPool, key, rays_o, rays_d, target):
         batch_size = rays_o.shape[0]
@@ -85,7 +103,15 @@ def make_r2l_train_step(
                                         n_sample, key=k_perturb,
                                         perturb=perturb)
             x = ray_embed(pts, L, fast=fast_embed)
-            out = model.apply({"params": params}, x)
+            if fused:
+                from ..ops import r2l_train_apply
+
+                out = r2l_train_apply(
+                    params, x, res_scale=model.res_scale,
+                    use_global_residual=model.use_residual,
+                    dtype=model.dtype)
+            else:
+                out = model.apply({"params": params}, x)
             per_ray_mse = jnp.mean(
                 (out[:, :3] - target_aug[:, :3]) ** 2, axis=-1)
             loss_rgb = jnp.mean(per_ray_mse) * lw_rgb

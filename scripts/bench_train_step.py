@@ -31,16 +31,17 @@ input_dim = n_sample * 3 * (2 * L + 1)
 B = 20 * 4096
 HARD = (16384, 16384)
 
-variant = sys.argv[1] if len(sys.argv) > 1 else "bf16_fast"
+variant = sys.argv[1] if len(sys.argv) > 1 else "bf16_fast_fused"
 dtype = jnp.float32 if "f32" in variant else jnp.bfloat16
 fast = "fast" in variant
+fused = "fused" in variant
 
 model = R2LNet(input_dim=input_dim, depth=88, width=256, dtype=dtype)
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, input_dim)))["params"]
 opt = optax.adam(5e-4)
 step = make_r2l_train_step(model, opt, near=2.0, far=6.0, n_sample=n_sample,
-                           L=L, hard=HARD, fast_embed=fast, jit=False,
-                           donate=False)
+                           L=L, hard=HARD, fast_embed=fast, fused=fused,
+                           jit=False, donate=False)
 
 rng = np.random.default_rng(0)
 o = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))

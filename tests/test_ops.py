@@ -88,3 +88,60 @@ def test_teacher_megakernel_interpret_matches_flax(rng):
                              tile_p=16, dtype=jnp.float32, interpret=True)
     assert got.shape == (N, S, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+@pytest.mark.parametrize("grs,res_scale", [(False, 1.0), (True, 0.5)])
+def test_train_vjp_interpret_matches_jax_grad(grs, res_scale, rng):
+    """Fused training custom-VJP (interpret mode, f32) vs jax.grad through
+    the flax apply: forward pixels, every weight/bias gradient, and dx."""
+    from efficient_nerf_tpu.ops.pallas.r2l_train import r2l_train_apply
+
+    in_dim, depth, width = 84, 10, 32
+    model = R2LNet(input_dim=in_dim, depth=depth, width=width,
+                   res_scale=res_scale, use_residual=grs, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, in_dim)))["params"]
+    # 37 rays: exercises the ragged final tile (tile_b=16)
+    x = jnp.asarray(rng.normal(size=(37, in_dim)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(37, 3)).astype(np.float32))
+
+    out_ref = model.apply({"params": params}, x)
+    out_f = r2l_train_apply(params, x, res_scale=res_scale,
+                            use_global_residual=grs, tile_b=16,
+                            dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=1e-5)
+
+    def loss_ref(p, xx):
+        return jnp.mean((model.apply({"params": p}, xx) - t) ** 2)
+
+    def loss_f(p, xx):
+        o = r2l_train_apply(p, xx, res_scale=res_scale,
+                            use_global_residual=grs, tile_b=16,
+                            dtype=jnp.float32, interpret=True)
+        return jnp.mean((o - t) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_f = jax.grad(loss_f, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5 * scale)
+
+
+def test_train_step_fused_flag_gates(rng):
+    """fused=None auto-resolves to False on CPU; fused=True on an
+    ineligible profile raises."""
+    import optax
+
+    from efficient_nerf_tpu.train import make_r2l_train_step
+
+    model = R2LNet(input_dim=84, depth=6, width=16, dtype=jnp.float32)
+    step = make_r2l_train_step(model, optax.adam(1e-3), near=2.0, far=6.0,
+                               n_sample=4, L=1, jit=False)  # auto -> XLA path
+    bad = R2LNet(input_dim=84, depth=6, width=16, linear_tail=True)
+    with pytest.raises(ValueError):
+        make_r2l_train_step(bad, optax.adam(1e-3), near=2.0, far=6.0,
+                            n_sample=4, L=1, fused=True, jit=False)
+    del step
