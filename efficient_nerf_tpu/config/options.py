@@ -176,6 +176,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--no_pallas", type=_boolish, nargs="?", const=True, default=False)
     add("--compute_dtype", type=str, default="f32", choices=["f32", "bf16"],
         help="MXU computation dtype (params stay f32); bf16 ~4x matmul rate")
+    add("--inference_quant", type=str, default="", choices=["", "int8"],
+        help="serving-path quantization for R2L eval/benchmark renders: "
+             "int8 = W8A8 body megakernel (2x MXU rate; quality cost "
+             "bounded by the e2e gate, see ops/pallas/r2l_int8.py)")
     add("--patch_items_per_shard", type=int, default=0,
         help="patch-mode shards: items per .npy file (0 = auto from 4096 rays)")
     add("--stream_pseudo_data", type=_boolish, nargs="?", const=True,

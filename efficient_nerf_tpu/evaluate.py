@@ -56,7 +56,7 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
                 gt_imgs: Optional[np.ndarray] = None,
                 savedir: Optional[str] = None, render_factor: float = 0,
                 given_rays=None, flip_reference_domain: bool = False,
-                log=print) -> Dict:
+                quant: str = "", log=print) -> Dict:
     """Render every pose; return {'rgbs': [N,H,W,3], metrics...}.
 
     given_rays: optional (all_rays_o [N,HW,3], all_rays_d [N,HW,3]) — render
@@ -81,7 +81,7 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
             o = jnp.asarray(given_rays[0][i])
             d = jnp.asarray(given_rays[1][i])
             rgb = r2l_forward_rays(model, params, o, d, cfg.near, cfg.far,
-                                   n_sample_per_ray, L=multires)
+                                   n_sample_per_ray, L=multires, quant=quant)
             rgb = rgb.reshape(H, W, -1)
         elif model_name == "nerf":
             c2w = jnp.asarray(np.asarray(poses[i])[:3, :4])
@@ -92,7 +92,7 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
             c2w = jnp.asarray(np.asarray(poses[i])[:3, :4])
             rgb = r2l_render_image(model, params, c2w, H, W, focal,
                                    cfg.near, cfg.far, n_sample_per_ray,
-                                   L=multires, plucker=plucker)
+                                   L=multires, plucker=plucker, quant=quant)
         rgb = np.asarray(jax.device_get(rgb))
         frame_times.append(time.time() - t0)
         rgbs.append(rgb)

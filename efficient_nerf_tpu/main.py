@@ -189,7 +189,7 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
                      multires=args.multires, plucker=args.plucker,
                      render_factor=args.render_factor,
                      flip_reference_domain=args.flip_reference_domain,
-                     log=log)
+                     quant=args.inference_quant, log=log)
     if args.given_render_path_rays:
         from .evaluate import load_given_rays
         go, gd, ggt = load_given_rays(args.given_render_path_rays)
@@ -232,13 +232,16 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
     if args.benchmark:
         from .render.r2l_renderer import r2l_render_image
         c2w = jnp.asarray(video_poses[0][:3, :4])
+        quant = getattr(args, "inference_quant", "")
         r2l_render_image(bundle.model, bundle.params, c2w, H, W, focal,
-                         near, far, args.n_sample_per_ray)  # compile
+                         near, far, args.n_sample_per_ray,
+                         quant=quant)  # compile
         reps = []
         for _ in range(10):
             t0 = time.time()
             out = r2l_render_image(bundle.model, bundle.params, c2w, H, W,
-                                   focal, near, far, args.n_sample_per_ray)
+                                   focal, near, far, args.n_sample_per_ray,
+                                   quant=quant)
             np.asarray(out[:1, :1])  # completion barrier
             reps.append(time.time() - t0)
         med = sorted(reps)[len(reps) // 2]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 __all__ = ["ray_points_embed", "fused_r2l_available", "r2l_forward_fused",
            "fused_ray_embed_available", "fused_nerf_available",
            "nerf_forward_fused", "fused_r2l_train_available",
-           "r2l_train_apply"]
+           "r2l_train_apply", "r2l_forward_int8"]
 
 
 def _on_tpu() -> bool:
@@ -112,5 +112,13 @@ def fused_r2l_train_available() -> bool:
 
 def r2l_train_apply(*args, **kwargs):
     from .pallas.r2l_train import r2l_train_apply as impl
+
+    return impl(*args, **kwargs)
+
+
+def r2l_forward_int8(*args, **kwargs):
+    """W8A8 serving kernel (ops/pallas/r2l_int8.py); gate with
+    fused_r2l_available()."""
+    from .pallas.r2l_int8 import r2l_forward_int8 as impl
 
     return impl(*args, **kwargs)

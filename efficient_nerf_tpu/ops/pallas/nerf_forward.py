@@ -1,27 +1,35 @@
 """Fused teacher-NeRF field-evaluation megakernel (Pallas/Mosaic).
 
-One kernel evaluates a tile of sample points end-to-end:
+One kernel evaluates a tile of rays' sample points end-to-end:
 
-    (point, viewdir) -> positional encodings (63-d / 27-d)
-                     -> 8-layer W256 MLP with input skip
-                     -> alpha head + feature head + view layer + rgb head
+    (point, ray viewdir) -> positional encodings (63-d / 27-d)
+                         -> 8-layer W256 MLP with input skip
+                         -> alpha head + feature head + view layer + rgb head
 
 entirely in VMEM: the ~0.6 MB of weights stay VMEM-resident across grid
 steps (constant index maps) and activations never leave VMEM, so HBM
 traffic is points in + raw out.
 
-Measured on v5e (docs/PERF.md): 1.6x over the XLA lowering on isolated
-point evaluation (24.7 vs 39.5 ms / 2M points, ~101 bf16-TFLOP/s), but only
-parity inside the full render_rays frame program, where XLA's fused
-epilogues reach the same serial MXU+VPU floor — so the frame renderer keeps
-the XLA path by default (RenderConfig.fused_teacher opts in). The kernel is
-the fast path for workloads that evaluate the field directly at points.
+Two TPU-specific embedding decisions (diagnostic sweep,
+scripts/tune_nerf_kernel.py — the naive sin+cos+select embed cost 26% of
+the whole kernel):
 
-Like ops/pallas/r2l_forward.py, the encodings are linearized into matmuls
-plus a trig select:
-    y[p, j] = x[p] @ F[:, j],  emb = {sin, cos, id}(y)  per-column mode
-reproducing core.encoding.nerf_embed's [x, sin(f0 x), cos(f0 x), ...] layout
-exactly (golden-tested in interpret mode vs the flax forward).
+  * single-pass phased trig: the encoding's cos columns are sin columns
+    with a +pi/2 phase, so one `sin(y + phase)` pass replaces the
+    sin-pass + cos-pass + select chain (the identity columns keep phase 0
+    and are restored by one select);
+  * per-ray view-dir branch: view directions are constant across a ray's
+    S samples, so the kernel grid tiles RAYS (R_t rays x S points per
+    step), the wrapper embeds directions once per ray (linearized jnp,
+    same math), and the kernel computes the [R_t, half] view-dir
+    contribution once and sublane-broadcasts it to the tile's points —
+    removing 24 of the 84 per-point transcendentals and the [N, S, 3]
+    HBM broadcast of directions entirely.
+
+Like ops/pallas/r2l_forward.py, the point encoding is linearized into a
+matmul plus the phased trig, reproducing core.encoding.nerf_embed's
+[x, sin(f0 x), cos(f0 x), ...] layout exactly (golden-tested in interpret
+mode vs the flax forward).
 
 Inference only (no VJP): used by the eval/pseudo-data render paths; teacher
 *training* keeps the XLA path (its cost is the matmul backward anyway).
@@ -47,30 +55,56 @@ LANES = 128
 
 @functools.lru_cache(maxsize=8)
 def _nerf_embed_constants_np(L: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Linearized nerf_embed for d=3: F [3, 3*(2L+1)], sin/cos masks.
+    """Linearized nerf_embed for d=3: F [3, E], phase [E], identity mask [E].
 
     Layout (core.encoding.nerf_embed): [x, sin(f0 x), cos(f0 x),
     sin(f1 x), cos(f1 x), ...] with f_l = 2^l; each group is 3 wide.
+    cos columns become sin columns with a +pi/2 phase (one trig pass).
     """
     E = 3 * (2 * L + 1)
     F = np.zeros((3, E))
-    mode = np.full((E,), 2, np.int32)  # 2 = identity
+    phase = np.zeros((E,), np.float32)
+    is_id = np.zeros((E,), np.int32)
     for c in range(3):
         F[c, c] = 1.0
+        is_id[c] = 1
     for l in range(L):
         f = 2.0 ** l
         for c in range(3):
-            F[c, 3 + 6 * l + c] = f
-            mode[3 + 6 * l + c] = 0  # sin
-            F[c, 3 + 6 * l + 3 + c] = f
-            mode[3 + 6 * l + 3 + c] = 1  # cos
-    return F.astype(np.float32), (mode == 0).astype(np.int32), \
-        (mode == 1).astype(np.int32)
+            F[c, 3 + 6 * l + c] = f                     # sin
+            F[c, 3 + 6 * l + 3 + c] = f                 # cos = sin(+pi/2)
+            phase[3 + 6 * l + 3 + c] = np.pi / 2
+    return F.astype(np.float32), phase, is_id
 
 
 def nerf_embed_constants(L: int):
-    F, sin_m, cos_m = _nerf_embed_constants_np(L)
-    return jnp.asarray(F), jnp.asarray(sin_m)[None, :], jnp.asarray(cos_m)[None, :]
+    F, phase, is_id = _nerf_embed_constants_np(L)
+    return (jnp.asarray(F), jnp.asarray(phase)[None, :],
+            jnp.asarray(is_id)[None, :])
+
+
+def _fast_sin(y):
+    """Polynomial sine: Cody-Waite pi range reduction + degree-7 odd
+    minimax on [-pi/2, pi/2]. Mosaic's jnp.sin lowers to a long generic
+    polynomial that dominated the embed (measured 6.6 ms of 24.3 per 2M
+    points); this ~15-op version has max abs error ~1e-6 + k*3e-7 from the
+    two-term pi split (k <= ~1e3 at the encoding's 2^9 max frequency) —
+    orders below the kernel's bf16 weight rounding. Strict-parity runs pin
+    the XLA path via --exact_embed / fused_teacher=False."""
+    k = jnp.round(y * 0.3183098861837907)
+    r = y - k * 3.140625 - k * 9.676535897932e-4
+    r2 = r * r
+    p = r * (0.9999966 + r2 * (-0.16664824
+                               + r2 * (0.00830629 - r2 * 0.00018363)))
+    sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))   # (-1)^k
+    return p * sign
+
+
+def _linearized_embed(x, L):
+    """Plain-jnp phased embed (same math as the kernel): x [..., 3]."""
+    F, phase, is_id = nerf_embed_constants(L)
+    y = x @ F
+    return jnp.where(is_id != 0, y, _fast_sin(y + phase))
 
 
 def pack_nerf_weights(params, skip: int = 4, dtype=jnp.bfloat16):
@@ -132,39 +166,48 @@ def pack_nerf_weights(params, skip: int = 4, dtype=jnp.bfloat16):
     }
 
 
-def _kernel(pts_ref, dirs_ref, fp_ref, sp_ref, cp_ref, fd_ref, sd_ref, cd_ref,
+def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
             pts0_w_ref, pts0_b_ref, body_w_ref, body_b_ref, skip_x_w_ref,
             feat_w_ref, feat_b_ref, views_h_w_ref, views_d_w_ref, views_b_ref,
             out_w_hv_ref, out_w_h_ref, out_b_ref, out_ref, *,
-            depth: int, skip: int, interleave: int):
+            depth: int, skip: int, s_per_ray: int, interleave: int,
+            diag: str = ""):
     f32 = jnp.float32
     # Matmul accumulators must be 32-bit on the MXU (Mosaic rejects bf16
-    # preferred_element_type); the epilogue (bias+relu) runs in the compute
-    # dtype and h stays in it between layers, so each layer costs one f32
-    # accumulate + in-dtype add/max. `interleave` independent sub-tile
-    # chains let the scheduler overlap one chain's VPU epilogue with
-    # another's MXU matmul.
+    # preferred_element_type); the epilogue (bias+relu) runs in f32 and h is
+    # cast to the weight dtype per matmul. `interleave` independent
+    # sub-tile chains let the scheduler overlap one chain's VPU epilogue
+    # with another's MXU matmul.
     wdt = pts0_w_ref.dtype
 
-    def embed(x, f_ref, s_ref, c_ref):
-        # sin/cos args reach ~2^9 * |x|: evaluate the trig in f32 always.
-        y = jnp.dot(x, f_ref[:], preferred_element_type=f32)
-        e = jnp.where(s_ref[:] != 0, jnp.sin(y),
-                      jnp.where(c_ref[:] != 0, jnp.cos(y), y))
+    def embed_pts(x):
+        # sin args reach ~2^9 * |x|: evaluate the trig in f32 always.
+        y = jnp.dot(x, fp_ref[:], preferred_element_type=f32)
+        if "nosincos" in diag:   # diagnostic: cost of the trig VPU pass
+            return y.astype(wdt)
+        sin = jnp.sin if "slowsin" in diag else _fast_sin
+        e = jnp.where(idp_ref[:] != 0, y, sin(y + php_ref[:]))
         return e.astype(wdt)
 
-    tile = pts_ref.shape[0]
+    tile = pts_ref.shape[0]                       # R_t * S points
+    rt = dirs_ref.shape[0]                        # R_t rays
     sub = tile // interleave
+    rsub = rt // interleave
     K = range(interleave)
+
+    # per-ray view-dir contribution, computed once per ray then sublane-
+    # broadcast to the ray's S points ([R_t, half] -> [R_t*S, half])
+    hv_d_ray = jnp.dot(dirs_ref[:].astype(wdt), views_d_w_ref[:],
+                       preferred_element_type=f32)            # [R_t, half]
+
+    def bcast_rays(v, rows):
+        return jnp.broadcast_to(
+            v[:, None, :], (rows, s_per_ray, v.shape[-1])
+        ).reshape(rows * s_per_ray, v.shape[-1])
 
     # independent sub-tile chains advanced layer-by-layer so chain B's MXU
     # matmul is adjacent (in program order) to chain A's VPU epilogue.
-    # Activations stay f32 between layers (bf16 VPU arithmetic is emulated
-    # via f32 on this core — measured slower, not faster).
-    xs = [embed(pts_ref[k * sub:(k + 1) * sub].astype(f32),
-                fp_ref, sp_ref, cp_ref) for k in K]
-    xds = [embed(dirs_ref[k * sub:(k + 1) * sub].astype(f32),
-                 fd_ref, sd_ref, cd_ref) for k in K]
+    xs = [embed_pts(pts_ref[k * sub:(k + 1) * sub].astype(f32)) for k in K]
 
     def layer(x_w, h, i):
         g = jnp.dot(h.astype(wdt), body_w_ref[i - 1],
@@ -181,16 +224,24 @@ def _kernel(pts_ref, dirs_ref, fp_ref, sp_ref, cp_ref, fd_ref, sd_ref, cd_ref,
         hs = [layer(xs[k], hs[k], i) for k in K]
 
     for k in K:
-        h, xd = hs[k].astype(wdt), xds[k]
+        h = hs[k].astype(wdt)
         alpha_part = jnp.dot(h, out_w_h_ref[:], preferred_element_type=f32)
+        if "noviews" in diag:   # diagnostic: cost of the whole view branch
+            out_ref[:, k * sub:(k + 1) * sub] = (
+                alpha_part + out_b_ref[:])[:, :4].T
+            continue
         feat = (jnp.dot(h, feat_w_ref[:], preferred_element_type=f32)
                 + feat_b_ref[:].astype(f32)).astype(wdt)
         hv = (jnp.dot(feat, views_h_w_ref[:], preferred_element_type=f32)
-              + jnp.dot(xd, views_d_w_ref[:], preferred_element_type=f32)
+              + bcast_rays(hv_d_ray[k * rsub:(k + 1) * rsub], rsub)
               + views_b_ref[:].astype(f32))
         hv = jnp.maximum(hv, 0.0).astype(wdt)
         rgb_part = jnp.dot(hv, out_w_hv_ref[:], preferred_element_type=f32)
         raw = alpha_part + rgb_part + out_b_ref[:]       # [sub, LANES]
+        if "notranspose" in diag:   # diagnostic: cost of the [T,4]->[4,T]
+            out_ref[:, k * sub:(k + 1) * sub] = jnp.broadcast_to(
+                jnp.sum(raw, axis=1)[None, :], (4, sub))
+            continue
         # compact channel-major output: a LANES-padded [T, 128] f32 raw
         # buffer costs 32x the useful HBM traffic (measured: it made the
         # fused frame *slower* than XLA); [4, T] rows are cheap.
@@ -198,45 +249,55 @@ def _kernel(pts_ref, dirs_ref, fp_ref, sp_ref, cp_ref, fd_ref, sd_ref, cd_ref,
 
 
 def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
-                       *, skip: int = 4, tile_p: int = 2048,
-                       dtype=jnp.bfloat16, interleave: int = 1,
-                       interpret: bool = False):
+                       *, skip: int = 4, tile_p: int = 3072,
+                       dtype=jnp.bfloat16, interleave: int = 2,
+                       diag: str = "", interpret: bool = False):
     """Fused teacher field evaluation.
 
-    pts: [..., 3] sample points; viewdirs: [..., 3] per-point unit view
-    directions (same leading shape). Returns raw [..., 4] f32 (pre-sigmoid
+    pts: [N, S, 3] sample points (S samples per ray); viewdirs: [N, 3]
+    per-RAY unit view directions. Returns raw [N, S, 4] f32 (pre-sigmoid
     rgb, pre-relu sigma) — identical layout to NeRFMLP.apply on
     concat([nerf_embed(pts, L), nerf_embed(viewdirs, L_views)]).
+
+    The grid tiles rays: R_t = max(1, tile_p // S) rays (R_t * S points)
+    per step; directions are embedded per ray in the wrapper (linearized
+    jnp, same math as the kernel's point embed).
     """
     packed = pack_nerf_weights(params, skip=skip, dtype=dtype)
-    lead = pts.shape[:-1]
-    pts = pts.reshape(-1, 3)
-    viewdirs = jnp.broadcast_to(viewdirs, lead + (3,)).reshape(-1, 3)
+    assert pts.ndim == 3 and pts.shape[-1] == 3, "pts must be [N, S, 3]"
+    N, S = pts.shape[0], pts.shape[1]
+    assert viewdirs.shape == (N, 3), "viewdirs must be per-ray [N, 3]"
 
-    Fp, sp, cp = nerf_embed_constants(L)
-    Fd, sd, cd = nerf_embed_constants(L_views)
     in_ch, in_ch_views = packed["in_ch"], packed["in_ch_views"]
-    assert Fp.shape[1] == in_ch and Fd.shape[1] == in_ch_views, \
+    Fp, _, _ = nerf_embed_constants(L)
+    assert Fp.shape[1] == in_ch and 3 * (2 * L_views + 1) == in_ch_views, \
         "params embed dims do not match L/L_views"
 
-    P = pts.shape[0]
-    n_tiles = -(-P // tile_p)
-    pad = n_tiles * tile_p - P
+    # per-ray embedded directions (f32; the kernel casts to the weight dtype)
+    dirs_emb = _linearized_embed(viewdirs.astype(jnp.float32), L_views)
+
+    r_t = max(1, tile_p // S)
+    while r_t > 1 and r_t % interleave:
+        r_t -= 1
+    n_tiles = -(-N // r_t)
+    pad = n_tiles * r_t - N
     if pad:
-        pts = jnp.pad(pts, ((0, pad), (0, 0)))
-        viewdirs = jnp.pad(viewdirs, ((0, pad), (0, 0)))
+        pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
+        dirs_emb = jnp.pad(dirs_emb, ((0, pad), (0, 0)))
+    pts_flat = pts.reshape(-1, 3)
+    tile = r_t * S
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     depth, width, half = packed["depth"], packed["width"], packed["half"]
+    php, idp = nerf_embed_constants(L)[1:]
     in_specs = [
-        pl.BlockSpec((tile_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_t, in_ch_views), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
         const_spec((3, in_ch)), const_spec((1, in_ch)), const_spec((1, in_ch)),
-        const_spec((3, in_ch_views)), const_spec((1, in_ch_views)),
-        const_spec((1, in_ch_views)),
         const_spec((in_ch, width)), const_spec((width,)),
         const_spec((depth - 1, width, width)), const_spec((depth - 1, width)),
         const_spec((in_ch, width)),
@@ -246,25 +307,25 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
         const_spec((half, LANES)), const_spec((width, LANES)),
         const_spec((LANES,)),
     ]
-    assert tile_p % interleave == 0
+    assert tile % interleave == 0 and r_t % interleave == 0
     out = pl.pallas_call(
         functools.partial(_kernel, depth=depth, skip=packed["skip"],
-                          interleave=interleave),
+                          s_per_ray=S, interleave=interleave, diag=diag),
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, tile_p), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, n_tiles * tile_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, n_tiles * tile), jnp.float32),
         # large tiles amortize grid-step overhead; the f32 activations of a
-        # 4096-point tile exceed the default 16 MB scoped-vmem budget, so
-        # raise it (v5e has 128 MB physical VMEM).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        # multi-thousand-point tile exceed the default 16 MB scoped-vmem
+        # budget, so raise it (v5e has far more physical VMEM).
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=interpret,
-    )(pts, viewdirs, Fp, sp, cp, Fd, sd, cd,
+    )(pts_flat, dirs_emb, Fp, php, idp,
       packed["pts0_w"], packed["pts0_b"], packed["body_w"], packed["body_b"],
       packed["skip_x_w"], packed["feat_w"], packed["feat_b"],
       packed["views_h_w"], packed["views_d_w"], packed["views_b"],
       packed["out_w_hv"], packed["out_w_h"], packed["out_b"])
 
-    return out[:, :P].T.reshape(lead + (4,))
+    return out[:, :N * S].T.reshape(N, S, 4)

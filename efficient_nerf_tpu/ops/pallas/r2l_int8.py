@@ -1,0 +1,222 @@
+"""Int8 (W8A8) R2L inference megakernel.
+
+The bf16 megakernel (r2l_forward.py) runs at ~85% of the v5e's 197 bf16
+TFLOP/s; the MXU's int8 path doubles that ceiling (~394 TOPS). This kernel
+quantizes the 43-block residual body — 95.6% of the 11.79 MFLOPs/ray — to
+int8 with:
+
+  * per-output-channel symmetric weight scales (max|W[:, n]| / 127, packed
+    once at call time from the f32 params), and
+  * per-tile dynamic activation scales (max|h| / 127 recomputed each layer
+    on the VPU), so the residual stream's depth-growing magnitude never
+    clips.
+
+The head matmul (embedded input: mixed-magnitude sin/cos + identity
+columns that would waste int8 range under one scale) and the tiny tail stay
+bf16; accumulation is int32 on the MXU, dequantized as acc * (s_h * s_w[n])
+in f32 before bias/relu/residual epilogues — the same f32 epilogue chain as
+the bf16 kernel.
+
+This is a serving-path option (reference README.md:17's ~30x headline is
+the workload); quality cost is measured, not assumed: the synthetic-scene
+gate (tests/test_quality_e2e.py) bounds the PSNR drop vs the bf16 kernel,
+and `r2l_forward_int8_ref` is a pure-jnp twin with bit-identical
+quantization math for interpret-mode parity.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .r2l_forward import (LANES, _doubling_head_perm_np, _point_constants_np,
+                          pack_r2l_weights)
+
+__all__ = ["r2l_forward_int8", "r2l_forward_int8_ref",
+           "pack_r2l_weights_int8"]
+
+
+def _quantize_cols(w):
+    """f32 [K, N] -> (int8 [K, N], f32 [N] per-column scales)."""
+    w = jnp.asarray(w, jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def pack_r2l_weights_int8(params, head_dtype=jnp.bfloat16):
+    """R2LNet scan-body params -> bf16 head/tail + int8 body operands."""
+    packed = pack_r2l_weights(params, head_dtype)
+    w0 = jnp.asarray(params["body"]["lin_0"]["kernel"], jnp.float32)
+    w1 = jnp.asarray(params["body"]["lin_1"]["kernel"], jnp.float32)
+    q0, s0 = jax.vmap(_quantize_cols)(w0)
+    q1, s1 = jax.vmap(_quantize_cols)(w1)
+    packed["body_qw"] = jnp.stack([q0, q1], axis=1)      # [n, 2, W, W] int8
+    packed["body_sw"] = jnp.stack([s0, s1], axis=1)      # [n, 2, W] f32
+    del packed["body_w"]
+    return packed
+
+
+def _qdyn(h):
+    """Per-row (per-ray) symmetric dynamic quantization:
+    f32 [T, W] -> (int8 [T, W], f32 [T, 1] scales). Row granularity keeps
+    rays with small activations at full 8-bit resolution (per-tile scales
+    measured ~5x worse worst-case output error)."""
+    s = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                    1e-12) / 127.0
+    q = jnp.clip(jnp.round(h / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _int8_block_math(h, qw, sw, bias, res_scale):
+    """One residual block with int8 matmuls; shared by kernel and jnp twin.
+
+    h f32 [T, W]; qw int8 [2, W, W]; sw f32 [2, W]; bias f32 [2, W].
+    """
+    f32 = jnp.float32
+    qh, sh = _qdyn(h)
+    acc = jax.lax.dot_general(qh, qw[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    g = acc.astype(f32) * (sh * sw[0]) + bias[0]
+    g = jnp.maximum(g, 0.0)
+    qg, sg = _qdyn(g)
+    acc = jax.lax.dot_general(qg, qw[1], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    g = acc.astype(f32) * (sg * sw[1]) + bias[1]
+    return g * res_scale + h
+
+
+def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
+            body_qw_ref, body_sw_ref, body_b_ref, tail_w_ref, tail_b_ref,
+            out_ref, *, n_block: int, res_scale: float,
+            use_global_residual: bool, n_freq: int):
+    f32 = jnp.float32
+    wdt = head_w_ref.dtype
+
+    # double-angle recurrence embedding (see r2l_forward._kernel fast_embed)
+    o = o_ref[:].astype(f32)
+    d = d_ref[:].astype(f32)
+    p = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
+         + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
+    s, c = jnp.sin(p), jnp.cos(p)
+    sins, coss = [s], [c]
+    for _ in range(1, n_freq):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    x = jnp.concatenate(sins + coss + [p], axis=-1)
+
+    h = jnp.maximum(
+        jnp.dot(x.astype(wdt), head_w_ref[:], preferred_element_type=f32)
+        + head_b_ref[:], 0.0)
+    h0 = h
+    for i in range(n_block):
+        h = _int8_block_math(h, body_qw_ref[i], body_sw_ref[i],
+                             body_b_ref[i], res_scale)
+    if use_global_residual:
+        h = h + h0
+    t = jnp.dot(h.astype(wdt), tail_w_ref[:],
+                preferred_element_type=f32) + tail_b_ref[:]
+    out_ref[:] = jax.nn.sigmoid(t)
+
+
+def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
+                     n_sample: int, L: int = 10, *, tile_b: int = 512,
+                     res_scale: float = 1.0,
+                     use_global_residual: bool = False,
+                     head_dtype=jnp.bfloat16, interpret: bool = False):
+    """Int8-body fused inference forward. rays [B, 3] -> rgb [B, out_dim]."""
+    packed = pack_r2l_weights_int8(params, head_dtype)
+    n_block = packed["body_qw"].shape[0]
+    width = packed["body_qw"].shape[-1]
+    in_dim = packed["head_w"].shape[0]
+
+    A, Bz = _point_constants_np(n_sample, float(near), float(far))
+    perm = _doubling_head_perm_np(n_sample, L)
+    head_w = packed["head_w"][jnp.asarray(perm)]
+    p_cols = A.shape[1]
+
+    B = rays_o.shape[0]
+    n_tiles = -(-B // tile_b)
+    pad = n_tiles * tile_b - B
+    if pad:
+        rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+        rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel, n_block=n_block, res_scale=res_scale,
+        use_global_residual=use_global_residual, n_freq=L)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_b, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec((3, p_cols)),
+            const_spec((3, p_cols)),
+            const_spec((in_dim, width)),
+            const_spec((width,)),
+            const_spec((n_block, 2, width, width)),
+            const_spec((n_block, 2, width)),
+            const_spec((n_block, 2, width)),
+            const_spec((width, LANES)),
+            const_spec((LANES,)),
+        ],
+        out_specs=pl.BlockSpec((tile_b, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_b, LANES),
+                                       jnp.float32),
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)),
+        interpret=interpret,
+    )(rays_o, rays_d, jnp.asarray(A), jnp.asarray(Bz), head_w,
+      packed["head_b"], packed["body_qw"], packed["body_sw"],
+      packed["body_b"], packed["tail_w"], packed["tail_b"])
+    return out[:B, :packed["out_dim"]]
+
+
+def r2l_forward_int8_ref(params, rays_o, rays_d, near: float, far: float,
+                         n_sample: int, L: int = 10, *,
+                         res_scale: float = 1.0,
+                         use_global_residual: bool = False,
+                         head_dtype=jnp.float32):
+    """Pure-jnp twin of the int8 kernel (bit-identical quantization math,
+    whole batch as one tile). Parity oracle for interpret-mode tests."""
+    f32 = jnp.float32
+    packed = pack_r2l_weights_int8(params, head_dtype)
+    A, Bz = _point_constants_np(n_sample, float(near), float(far))
+    perm = _doubling_head_perm_np(n_sample, L)
+    head_w = packed["head_w"][jnp.asarray(perm)]
+
+    p = rays_o @ jnp.asarray(A) + rays_d @ jnp.asarray(Bz)
+    s, c = jnp.sin(p), jnp.cos(p)
+    sins, coss = [s], [c]
+    for _ in range(1, L):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    x = jnp.concatenate(sins + coss + [p], axis=-1)
+
+    h = jnp.maximum(
+        jnp.dot(x.astype(head_dtype), head_w,
+                preferred_element_type=f32) + packed["head_b"], 0.0)
+    h0 = h
+    for i in range(packed["body_qw"].shape[0]):
+        h = _int8_block_math(h, packed["body_qw"][i], packed["body_sw"][i],
+                             packed["body_b"][i], res_scale)
+    if use_global_residual:
+        h = h + h0
+    t = jnp.dot(h.astype(head_dtype), packed["tail_w"],
+                preferred_element_type=f32) + packed["tail_b"]
+    out = jax.nn.sigmoid(t)
+    return out[:, :packed["out_dim"]]

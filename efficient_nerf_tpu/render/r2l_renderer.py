@@ -44,12 +44,27 @@ def _fused_eligible(model, plucker: bool, perturb: bool) -> bool:
 def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
                      n_sample: int, L: int = 10, plucker: bool = False,
                      key: Optional[jax.Array] = None, perturb: bool = False,
-                     allow_fused: bool = True, batch_stats=None):
+                     allow_fused: bool = True, quant: str = "",
+                     batch_stats=None):
     """[B, 3] rays -> [B, output_dim] colors.
 
     Eval-mode calls on TPU dispatch to the fused Pallas megakernel when the
     model matches its profile (allow_fused=False forces the XLA path).
+    quant='int8' selects the W8A8 serving kernel (ops/pallas/r2l_int8.py);
+    it requires the megakernel profile and raises otherwise.
     """
+    if quant and quant != "int8":
+        raise ValueError(f"unknown quant mode {quant!r}")
+    if quant == "int8":
+        if not (allow_fused and _fused_eligible(model, plucker, perturb)):
+            raise ValueError("int8 inference requires the fused-megakernel "
+                             "profile (uniform resmlp body, eval mode, TPU)")
+        from ..ops import r2l_forward_int8
+
+        return r2l_forward_int8(
+            params, rays_o, rays_d, near, far, n_sample, L,
+            res_scale=model.res_scale,
+            use_global_residual=model.use_residual)
     if allow_fused and _fused_eligible(model, plucker, perturb):
         from ..ops import r2l_forward_fused
 
@@ -86,15 +101,17 @@ def make_r2l_forward(model, near: float, far: float, n_sample: int,
 
 def r2l_render_image(model, params, c2w, H: int, W: int, focal: float,
                      near: float, far: float, n_sample: int, L: int = 10,
-                     plucker: bool = False, chunk: int = 0, batch_stats=None):
+                     plucker: bool = False, chunk: int = 0, quant: str = "",
+                     batch_stats=None):
     """Render a full frame. chunk=0 -> the whole frame in one XLA call
     (the fast path: H*W x width matmuls saturate the MXU)."""
-    if _fused_eligible(model, plucker, perturb=False):
+    if quant == "int8" or _fused_eligible(model, plucker, perturb=False):
         from ..core.rays import get_rays
 
         rays_o, rays_d = get_rays(H, W, focal, c2w)
         rgb = r2l_forward_rays(model, params, rays_o.reshape(-1, 3),
-                               rays_d.reshape(-1, 3), near, far, n_sample, L)
+                               rays_d.reshape(-1, 3), near, far, n_sample, L,
+                               quant=quant)
         return rgb.reshape(H, W, -1)
     pts = sample_image_points(c2w, H, W, focal, near, far, n_sample,
                               plucker=plucker)

@@ -66,8 +66,16 @@ class RenderConfig:
     fast_embed: bool = True
 
     def eval_mode(self) -> "RenderConfig":
-        """Test-time variant: no jitter, no sigma noise."""
-        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+        """Test-time variant: no jitter, no sigma noise.
+
+        Also opts into the fused teacher megakernel (r2: 596 -> 477 ms per
+        400x400 frame) unless the config pins exact embeds (--exact_embed:
+        the kernel's fast polynomial sine is ~1e-6-approximate, so strict
+        reference-parity evals keep the XLA path). Dispatch still requires
+        the profile + a TPU (_nerf_fused_eligible)."""
+        return dataclasses.replace(
+            self, perturb=False, raw_noise_std=0.0,
+            fused_teacher=self.fused_teacher or self.fast_embed)
 
 
 class RenderResult(NamedTuple):
@@ -108,7 +116,7 @@ def _query(model, params, pts, viewdirs, cfg: RenderConfig):
     if _nerf_fused_eligible(model, cfg):
         from ..ops import nerf_forward_fused
 
-        return nerf_forward_fused(params, pts, viewdirs[..., None, :],
+        return nerf_forward_fused(params, pts, viewdirs,
                                   cfg.multires, cfg.multires_views,
                                   skip=tuple(model.skips)[0],
                                   dtype=model.dtype)

@@ -41,9 +41,10 @@ S_C, S_F = 64, 128
 
 model = NeRFMLP(dtype=jnp.bfloat16)
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
-cfg = RenderConfig(n_samples=S_C, n_importance=S_F,
-                   white_bkgd=True).eval_mode()
-cfg_fused = dataclasses.replace(cfg, fused_teacher=True)
+_base = RenderConfig(n_samples=S_C, n_importance=S_F,
+                     white_bkgd=True).eval_mode()
+cfg = dataclasses.replace(_base, fused_teacher=False)   # pinned XLA variant
+cfg_fused = dataclasses.replace(_base, fused_teacher=True)
 
 rng = np.random.default_rng(0)
 o = jnp.asarray(rng.normal(size=(CHUNK, 3)).astype(np.float32))
@@ -94,6 +95,9 @@ STAGES = {
     "sample_pdf": (sample_pdf_stage, N_RAYS // CHUNK),
     "frame": (frame_stage(cfg), 1),
     "frame_fused": (frame_stage(cfg_fused), 1),
+    # whole frame as ONE chunk program (no lax.scan over chunks)
+    "frame_fused_c1": (frame_stage(dataclasses.replace(
+        cfg_fused, chunk=H * W)), 1),
 }
 
 

@@ -84,7 +84,7 @@ def test_teacher_megakernel_interpret_matches_flax(rng):
     de = jnp.broadcast_to(nerf_embed(vd, Lv)[:, None, :], (N, S, 27))
     want = model.apply({"params": params}, jnp.concatenate([emb, de], -1))
 
-    got = nerf_forward_fused(params, pts, vd[:, None, :], L, Lv,
+    got = nerf_forward_fused(params, pts, vd, L, Lv,
                              tile_p=16, dtype=jnp.float32, interpret=True)
     assert got.shape == (N, S, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
@@ -145,3 +145,45 @@ def test_train_step_fused_flag_gates(rng):
         make_r2l_train_step(bad, optax.adam(1e-3), near=2.0, far=6.0,
                             n_sample=4, L=1, fused=True, jit=False)
     del step
+
+
+def test_int8_kernel_matches_jnp_twin(rng):
+    """Int8 megakernel (interpret) vs the pure-jnp quantization twin: same
+    math when the batch is one tile. Not bit-exact: a 1-ulp difference in
+    the f32 row-max reduce can flip a round() tie, moving one int8 level
+    (~1e-3 after dequant); tolerance covers a few such flips."""
+    from efficient_nerf_tpu.ops.pallas.r2l_int8 import (r2l_forward_int8,
+                                                        r2l_forward_int8_ref)
+
+    in_dim, n_sample, L = 16 * 3 * 21, 16, 10
+    model = R2LNet(input_dim=in_dim, depth=10, width=32, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, in_dim)))["params"]
+    o = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    got = r2l_forward_int8(params, o, d, 2.0, 6.0, n_sample, L, tile_b=32,
+                           head_dtype=jnp.float32, interpret=True)
+    want = r2l_forward_int8_ref(params, o, d, 2.0, 6.0, n_sample, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+
+
+def test_int8_quantization_error_bounded(rng):
+    """W8A8 body quantization stays close to the f32 forward on random
+    weights (post-sigmoid outputs; per-channel + dynamic scales)."""
+    from efficient_nerf_tpu.ops.pallas.r2l_int8 import r2l_forward_int8_ref
+
+    in_dim, n_sample, L = 16 * 3 * 21, 16, 10
+    model = R2LNet(input_dim=in_dim, depth=22, width=64, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, in_dim)))["params"]
+    o = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    q = r2l_forward_int8_ref(params, o, d, 2.0, 6.0, n_sample, L)
+    f = model.apply({"params": params},
+                    __import__("efficient_nerf_tpu.ops", fromlist=["ops"])
+                    .ray_points_embed(o, d, 2.0, 6.0, n_sample, L))
+    diff = np.abs(np.asarray(q) - np.asarray(f))
+    # random-init weights are a pathological case (sigmoid inputs near 0 =
+    # max sensitivity); the trained-model PSNR gate lives in
+    # tests/test_quality_e2e.py::test_streaming_distillation_matches_teacher
+    assert diff.max() < 0.12 and diff.mean() < 0.012, (diff.max(), diff.mean())

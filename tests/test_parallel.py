@@ -109,3 +109,31 @@ def test_host_subset_partition():
     b = host_subset(files, 1, 2)
     assert len(a) + len(b) == 10
     assert set(a).isdisjoint(b)
+
+
+def test_sharded_r2l_forward_matches_single_device():
+    """Data-parallel eval forward (shard_map over 'data') == the unsharded
+    per-chip forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficient_nerf_tpu.models import R2LNet
+    from efficient_nerf_tpu.parallel import make_mesh, make_sharded_r2l_forward, shard_batch
+    from efficient_nerf_tpu.render.r2l_renderer import r2l_forward_rays
+
+    n_sample, L = 4, 4
+    in_dim = n_sample * 3 * (2 * L + 1)
+    model = R2LNet(input_dim=in_dim, depth=6, width=32, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, in_dim)))["params"]
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+
+    mesh = make_mesh(n_data=8)
+    fn = make_sharded_r2l_forward(model, mesh, near=2.0, far=6.0,
+                                  n_sample=n_sample, L=L)
+    got = fn(params, *shard_batch(mesh, o, d))
+    want = r2l_forward_rays(model, params, o, d, 2.0, 6.0, n_sample, L=L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -173,3 +173,15 @@ def test_streaming_distillation_matches_teacher(sphere_scene, trained_teacher):
     # and therefore be decent against ground truth too
     gt = jnp.asarray(imgs[data.splits[2][0]])
     assert float(psnr(jnp.asarray(s_img), gt)) > 12.0
+
+    # int8 serving path (W8A8 body, ops/pallas/r2l_int8.py): on the TRAINED
+    # student the quantization must cost well under a dB vs the teacher
+    from efficient_nerf_tpu.core.rays import get_rays
+    from efficient_nerf_tpu.ops.pallas.r2l_int8 import r2l_forward_int8_ref
+
+    o, d = get_rays(H, W, focal, pose)
+    q_img = r2l_forward_int8_ref(state.params, o.reshape(-1, 3),
+                                 d.reshape(-1, 3), 2.0, 6.0,
+                                 n_sample).reshape(H, W, 3)
+    d_q = float(psnr(jnp.asarray(q_img), t_img))
+    assert d_q > d_ts - 0.5, f"int8 psnr {d_q} vs bf16-path {d_ts}"
