@@ -83,21 +83,7 @@ def nerf_embed_constants(L: int):
             jnp.asarray(is_id)[None, :])
 
 
-def _fast_sin(y):
-    """Polynomial sine: Cody-Waite pi range reduction + degree-7 odd
-    minimax on [-pi/2, pi/2]. Mosaic's jnp.sin lowers to a long generic
-    polynomial that dominated the embed (measured 6.6 ms of 24.3 per 2M
-    points); this ~15-op version has max abs error ~1e-6 + k*3e-7 from the
-    two-term pi split (k <= ~1e3 at the encoding's 2^9 max frequency) —
-    orders below the kernel's bf16 weight rounding. Strict-parity runs pin
-    the XLA path via --exact_embed / fused_teacher=False."""
-    k = jnp.round(y * 0.3183098861837907)
-    r = y - k * 3.140625 - k * 9.676535897932e-4
-    r2 = r * r
-    p = r * (0.9999966 + r2 * (-0.16664824
-                               + r2 * (0.00830629 - r2 * 0.00018363)))
-    sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))   # (-1)^k
-    return p * sign
+from .trig import fast_sin as _fast_sin  # noqa: E402  (see trig.py)
 
 
 def _linearized_embed(x, L):
@@ -180,16 +166,22 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
     # with another's MXU matmul.
     wdt = pts0_w_ref.dtype
 
-    def embed_pts(x):
+    def embed_pts(x_cm):
+        # x_cm is the channel-major [3, sub] point slice: contracting its
+        # dim 0 against F's dim 0 gives [sub, E] directly — no transpose,
+        # and the [3, P] HBM layout pads 2.7x instead of the 42.7x XLA
+        # gives a [P, 3] row tensor (measured: the padded row layout alone
+        # moved ~16 GB/frame).
         # sin args reach ~2^9 * |x|: evaluate the trig in f32 always.
-        y = jnp.dot(x, fp_ref[:], preferred_element_type=f32)
+        y = jax.lax.dot_general(x_cm, fp_ref[:], (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
         if "nosincos" in diag:   # diagnostic: cost of the trig VPU pass
             return y.astype(wdt)
         sin = jnp.sin if "slowsin" in diag else _fast_sin
         e = jnp.where(idp_ref[:] != 0, y, sin(y + php_ref[:]))
         return e.astype(wdt)
 
-    tile = pts_ref.shape[0]                       # R_t * S points
+    tile = pts_ref.shape[1]                       # R_t * S points
     rt = dirs_ref.shape[0]                        # R_t rays
     sub = tile // interleave
     rsub = rt // interleave
@@ -207,7 +199,8 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
 
     # independent sub-tile chains advanced layer-by-layer so chain B's MXU
     # matmul is adjacent (in program order) to chain A's VPU epilogue.
-    xs = [embed_pts(pts_ref[k * sub:(k + 1) * sub].astype(f32)) for k in K]
+    xs = [embed_pts(pts_ref[:, k * sub:(k + 1) * sub].astype(f32))
+          for k in K]
 
     def layer(x_w, h, i):
         g = jnp.dot(h.astype(wdt), body_w_ref[i - 1],
@@ -284,7 +277,9 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
         dirs_emb = jnp.pad(dirs_emb, ((0, pad), (0, 0)))
-    pts_flat = pts.reshape(-1, 3)
+    # channel-major [3, P]: XLA lane-pads a [P, 3] tensor 42.7x (3 -> 128
+    # lanes); this layout pads 2.7x and the kernel contracts dim 0 directly
+    pts_cm = pts.reshape(-1, 3).T
     tile = r_t * S
 
     def const_spec(shape):
@@ -294,7 +289,7 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     depth, width, half = packed["depth"], packed["width"], packed["half"]
     php, idp = nerf_embed_constants(L)[1:]
     in_specs = [
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((r_t, in_ch_views), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         const_spec((3, in_ch)), const_spec((1, in_ch)), const_spec((1, in_ch)),
@@ -322,7 +317,7 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=interpret,
-    )(pts_flat, dirs_emb, Fp, php, idp,
+    )(pts_cm, dirs_emb, Fp, php, idp,
       packed["pts0_w"], packed["pts0_b"], packed["body_w"], packed["body_b"],
       packed["skip_x_w"], packed["feat_w"], packed["feat_b"],
       packed["views_h_w"], packed["views_d_w"], packed["views_b"],

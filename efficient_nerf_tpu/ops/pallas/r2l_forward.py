@@ -157,9 +157,18 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
         # The output block layout [sins | coss | p] is absorbed by a head-
         # weight row permutation at pack time (_doubling_head_perm_np).
         def embed(o, d):
-            p = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
-                 + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
-            s, c = jnp.sin(p), jnp.cos(p)
+            from .trig import fast_sincos
+
+            cm = (((0,), (0,)), ((), ()))   # o/d are channel-major [3, sub]
+            p = (jax.lax.dot_general(o, p1_ref[:], cm,
+                                     preferred_element_type=f32)
+                 + jax.lax.dot_general(d, p2_ref[:], cm,
+                                       preferred_element_type=f32))
+            # shared-range-reduction polynomial base pair (~2e-7 err; the
+            # L doublings amplify it to ~2e-4, same order as the
+            # recurrence's own f32 error) — jnp.sin/cos lower to long
+            # generic polynomials on Mosaic (see trig.py)
+            s, c = fast_sincos(p, degree=9)
             sins, coss = [s], [c]
             for _ in range(1, n_freq):
                 s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
@@ -168,8 +177,11 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
             return jnp.concatenate(sins + coss + [p], axis=-1)
     else:
         def embed(o, d):
-            y = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
-                 + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
+            cm = (((0,), (0,)), ((), ()))   # o/d are channel-major [3, sub]
+            y = (jax.lax.dot_general(o, p1_ref[:], cm,
+                                     preferred_element_type=f32)
+                 + jax.lax.dot_general(d, p2_ref[:], cm,
+                                       preferred_element_type=f32))
             if "nosincos" in diag:   # diagnostic: skip the trig VPU passes
                 return y
             return jnp.where(sinm_ref[:] != 0, jnp.sin(y),
@@ -226,7 +238,7 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
 
     o_all = o_ref[:].astype(f32)
     d_all = d_ref[:].astype(f32)
-    tile = o_all.shape[0]
+    tile = o_all.shape[1]
 
     if unroll_body and interleave > 1:
         # Independent sub-tile chains interleaved per block so the scheduler
@@ -234,8 +246,8 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
         sub = tile // interleave
         hs = []
         for k in range(interleave):
-            x = embed(o_all[k * sub:(k + 1) * sub],
-                      d_all[k * sub:(k + 1) * sub])
+            x = embed(o_all[:, k * sub:(k + 1) * sub],
+                      d_all[:, k * sub:(k + 1) * sub])
             hs.append(head(x))
         h0s = list(hs)
         for i in range(n_block):
@@ -285,9 +297,12 @@ def _kernel_resident(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
     d = d_ref[:].astype(f32)
     in_dim = p1_ref.shape[1]
     cw = in_dim // embed_chunks
+    cmn = (((0,), (0,)), ((), ()))   # o/d are channel-major [3, tile]
     for c0 in range(0, in_dim, cw):
-        y = (jnp.dot(o, p1_ref[:, c0:c0 + cw], preferred_element_type=f32)
-             + jnp.dot(d, p2_ref[:, c0:c0 + cw], preferred_element_type=f32))
+        y = (jax.lax.dot_general(o, p1_ref[:, c0:c0 + cw], cmn,
+                                 preferred_element_type=f32)
+             + jax.lax.dot_general(d, p2_ref[:, c0:c0 + cw], cmn,
+                                   preferred_element_type=f32))
         xc = jnp.where(sinm_ref[:, c0:c0 + cw] != 0, jnp.sin(y),
                        jnp.where(cosm_ref[:, c0:c0 + cw] != 0, jnp.cos(y), y))
         x_vmem[:, c0:c0 + cw] = xc.astype(wdt)
@@ -385,14 +400,18 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
     if pad:
         rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
         rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
+    # channel-major [3, B]: a [B, 3] pallas operand is pinned row-major and
+    # lane-padded 42.7x by XLA; [3, B] pads only to 8 sublanes
+    rays_o = rays_o.T
+    rays_d = rays_d.T
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     small_specs = [
-        pl.BlockSpec((tile_b, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_b, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
         const_spec((3, p_cols)),
         const_spec((3, p_cols)),
         const_spec((1, p_cols)),

@@ -35,9 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .r2l_forward import (LANES, _doubling_head_perm_np, _point_constants_np,
                           pack_r2l_weights)
+from .trig import fast_sincos
 
 __all__ = ["r2l_forward_int8", "r2l_forward_int8_ref",
-           "pack_r2l_weights_int8"]
+           "pack_r2l_weights_int8", "calibrate_r2l_int8"]
 
 
 def _quantize_cols(w):
@@ -72,51 +73,78 @@ def _qdyn(h):
     return q, s
 
 
-def _int8_block_math(h, qw, sw, bias, res_scale):
+def _qstatic(h, inv_s):
+    """Static-scale quantization: no reduce, just scale/round/clip/cast.
+    Values beyond the calibrated range saturate gracefully at +-127."""
+    return jnp.clip(jnp.round(h * inv_s), -127.0, 127.0).astype(jnp.int8)
+
+
+def _int8_block_math(h, qw, sw, bias, res_scale, dqs=None, inv_s=None):
     """One residual block with int8 matmuls; shared by kernel and jnp twin.
 
     h f32 [T, W]; qw int8 [2, W, W]; sw f32 [2, W]; bias f32 [2, W].
+    Static-calibrated mode (dqs/inv_s set): activation scales are baked in
+    — dqs[j] = s_act[j] * sw[j] precomputed, inv_s[j] = 1/s_act[j] — so the
+    whole quantize epilogue is mul+round+clip+cast (the per-row dynamic
+    max-reduce costs half the int8 MXU win, measured ~150 vs 263 TFLOP/s
+    on the bare chain).
     """
     f32 = jnp.float32
+
+    def mm(q, j):
+        return jax.lax.dot_general(q, qw[j], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    if dqs is not None:
+        g = mm(_qstatic(h, inv_s[0]), 0).astype(f32) * dqs[0] + bias[0]
+        g = jnp.maximum(g, 0.0)
+        g = mm(_qstatic(g, inv_s[1]), 1).astype(f32) * dqs[1] + bias[1]
+        return g * res_scale + h
+
     qh, sh = _qdyn(h)
-    acc = jax.lax.dot_general(qh, qw[0], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    g = acc.astype(f32) * (sh * sw[0]) + bias[0]
+    g = mm(qh, 0).astype(f32) * (sh * sw[0]) + bias[0]
     g = jnp.maximum(g, 0.0)
     qg, sg = _qdyn(g)
-    acc = jax.lax.dot_general(qg, qw[1], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    g = acc.astype(f32) * (sg * sw[1]) + bias[1]
+    g = mm(qg, 1).astype(f32) * (sg * sw[1]) + bias[1]
     return g * res_scale + h
 
 
-def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
-            body_qw_ref, body_sw_ref, body_b_ref, tail_w_ref, tail_b_ref,
-            out_ref, *, n_block: int, res_scale: float,
-            use_global_residual: bool, n_freq: int):
-    f32 = jnp.float32
-    wdt = head_w_ref.dtype
-
-    # double-angle recurrence embedding (see r2l_forward._kernel fast_embed)
-    o = o_ref[:].astype(f32)
-    d = d_ref[:].astype(f32)
-    p = (jnp.dot(o, p1_ref[:], preferred_element_type=f32)
-         + jnp.dot(d, p2_ref[:], preferred_element_type=f32))
-    s, c = jnp.sin(p), jnp.cos(p)
+def _doubling_embed(p, n_freq):
+    s, c = fast_sincos(p, degree=9)
     sins, coss = [s], [c]
     for _ in range(1, n_freq):
         s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
         sins.append(s)
         coss.append(c)
-    x = jnp.concatenate(sins + coss + [p], axis=-1)
+    return jnp.concatenate(sins + coss + [p], axis=-1)
+
+
+def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
+            body_qw_ref, body_sw_ref, body_b_ref, dqs_ref, invs_ref,
+            tail_w_ref, tail_b_ref, out_ref, *, n_block: int,
+            res_scale: float, use_global_residual: bool, n_freq: int,
+            static_scales: bool):
+    f32 = jnp.float32
+    wdt = head_w_ref.dtype
+
+    # double-angle recurrence embedding (see r2l_forward._kernel fast_embed)
+    o = o_ref[:].astype(f32)              # channel-major [3, tile]
+    d = d_ref[:].astype(f32)
+    cm = (((0,), (0,)), ((), ()))
+    p = (jax.lax.dot_general(o, p1_ref[:], cm, preferred_element_type=f32)
+         + jax.lax.dot_general(d, p2_ref[:], cm, preferred_element_type=f32))
+    x = _doubling_embed(p, n_freq)
 
     h = jnp.maximum(
         jnp.dot(x.astype(wdt), head_w_ref[:], preferred_element_type=f32)
         + head_b_ref[:], 0.0)
     h0 = h
     for i in range(n_block):
-        h = _int8_block_math(h, body_qw_ref[i], body_sw_ref[i],
-                             body_b_ref[i], res_scale)
+        h = _int8_block_math(
+            h, body_qw_ref[i], body_sw_ref[i], body_b_ref[i], res_scale,
+            dqs=dqs_ref[i] if static_scales else None,
+            inv_s=((invs_ref[i, 0], invs_ref[i, 1])
+                   if static_scales else None))
     if use_global_residual:
         h = h + h0
     t = jnp.dot(h.astype(wdt), tail_w_ref[:],
@@ -124,12 +152,52 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
     out_ref[:] = jax.nn.sigmoid(t)
 
 
+def calibrate_r2l_int8(params, rays_o, rays_d, near: float, far: float,
+                       n_sample: int, L: int = 10, *, res_scale: float = 1.0,
+                       margin: float = 1.02):
+    """Static activation scales for the int8 kernel: run the full-precision
+    forward on a calibration ray batch and record each block's input and
+    inner-activation max. Returns act_scales [n_block, 2] f32 (= max *
+    margin / 127); pass to r2l_forward_int8 to replace the per-row dynamic
+    scales (half the quantize-epilogue cost; out-of-range values saturate).
+    """
+    f32 = jnp.float32
+    A, Bz = _point_constants_np(n_sample, float(near), float(far))
+    perm = _doubling_head_perm_np(n_sample, L)
+    head_w = jnp.asarray(params["head"]["kernel"], f32)[jnp.asarray(perm)]
+    head_b = jnp.asarray(params["head"]["bias"], f32)
+    w = jnp.stack([jnp.asarray(params["body"]["lin_0"]["kernel"], f32),
+                   jnp.asarray(params["body"]["lin_1"]["kernel"], f32)], 1)
+    b = jnp.stack([jnp.asarray(params["body"]["lin_0"]["bias"], f32),
+                   jnp.asarray(params["body"]["lin_1"]["bias"], f32)], 1)
+
+    p = rays_o @ jnp.asarray(A) + rays_d @ jnp.asarray(Bz)
+    x = _doubling_embed(p, L)
+    h = jnp.maximum(x @ head_w + head_b, 0.0)
+
+    def block(h, wb):
+        wi, bi = wb
+        s_h = jnp.max(jnp.abs(h))
+        g = jnp.maximum(h @ wi[0] + bi[0], 0.0)
+        s_g = jnp.max(jnp.abs(g))
+        h = (g @ wi[1] + bi[1]) * res_scale + h
+        return h, jnp.stack([s_h, s_g])
+
+    _, maxes = jax.lax.scan(block, h, (w, b))
+    return maxes * (margin / 127.0)
+
+
 def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
                      n_sample: int, L: int = 10, *, tile_b: int = 512,
                      res_scale: float = 1.0,
                      use_global_residual: bool = False,
-                     head_dtype=jnp.bfloat16, interpret: bool = False):
-    """Int8-body fused inference forward. rays [B, 3] -> rgb [B, out_dim]."""
+                     act_scales=None, head_dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """Int8-body fused inference forward. rays [B, 3] -> rgb [B, out_dim].
+
+    act_scales [n_block, 2] (from calibrate_r2l_int8) switches the kernel
+    to static activation scales — the production serving mode; None uses
+    per-row dynamic scales (calibration-free, slower epilogue)."""
     packed = pack_r2l_weights_int8(params, head_dtype)
     n_block = packed["body_qw"].shape[0]
     width = packed["body_qw"].shape[-1]
@@ -146,6 +214,18 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
     if pad:
         rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
         rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
+    # channel-major [3, B] (see r2l_forward: avoids the 42.7x lane padding)
+    rays_o = rays_o.T
+    rays_d = rays_d.T
+
+    static_scales = act_scales is not None
+    if static_scales:
+        act_scales = jnp.asarray(act_scales, jnp.float32)
+        dqs = act_scales[:, :, None] * packed["body_sw"]   # [n, 2, W]
+        invs = 1.0 / act_scales                            # [n, 2]
+    else:
+        dqs = jnp.zeros((1, 2, width), jnp.float32)
+        invs = jnp.ones((1, 2), jnp.float32)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -153,14 +233,15 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
 
     kernel = functools.partial(
         _kernel, n_block=n_block, res_scale=res_scale,
-        use_global_residual=use_global_residual, n_freq=L)
+        use_global_residual=use_global_residual, n_freq=L,
+        static_scales=static_scales)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_b, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, tile_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, tile_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             const_spec((3, p_cols)),
             const_spec((3, p_cols)),
@@ -169,6 +250,8 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
             const_spec((n_block, 2, width, width)),
             const_spec((n_block, 2, width)),
             const_spec((n_block, 2, width)),
+            const_spec(tuple(dqs.shape)),
+            const_spec(tuple(invs.shape)),
             const_spec((width, LANES)),
             const_spec((LANES,)),
         ],
@@ -181,7 +264,7 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
         interpret=interpret,
     )(rays_o, rays_d, jnp.asarray(A), jnp.asarray(Bz), head_w,
       packed["head_b"], packed["body_qw"], packed["body_sw"],
-      packed["body_b"], packed["tail_w"], packed["tail_b"])
+      packed["body_b"], dqs, invs, packed["tail_w"], packed["tail_b"])
     return out[:B, :packed["out_dim"]]
 
 
@@ -189,9 +272,9 @@ def r2l_forward_int8_ref(params, rays_o, rays_d, near: float, far: float,
                          n_sample: int, L: int = 10, *,
                          res_scale: float = 1.0,
                          use_global_residual: bool = False,
-                         head_dtype=jnp.float32):
-    """Pure-jnp twin of the int8 kernel (bit-identical quantization math,
-    whole batch as one tile). Parity oracle for interpret-mode tests."""
+                         act_scales=None, head_dtype=jnp.float32):
+    """Pure-jnp twin of the int8 kernel (same quantization math, whole
+    batch as one tile). Parity oracle for interpret-mode tests."""
     f32 = jnp.float32
     packed = pack_r2l_weights_int8(params, head_dtype)
     A, Bz = _point_constants_np(n_sample, float(near), float(far))
@@ -199,21 +282,23 @@ def r2l_forward_int8_ref(params, rays_o, rays_d, near: float, far: float,
     head_w = packed["head_w"][jnp.asarray(perm)]
 
     p = rays_o @ jnp.asarray(A) + rays_d @ jnp.asarray(Bz)
-    s, c = jnp.sin(p), jnp.cos(p)
-    sins, coss = [s], [c]
-    for _ in range(1, L):
-        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
-        sins.append(s)
-        coss.append(c)
-    x = jnp.concatenate(sins + coss + [p], axis=-1)
+    x = _doubling_embed(p, L)
 
     h = jnp.maximum(
         jnp.dot(x.astype(head_dtype), head_w,
                 preferred_element_type=f32) + packed["head_b"], 0.0)
     h0 = h
+    if act_scales is not None:
+        act_scales = jnp.asarray(act_scales, f32)
+        dqs_all = act_scales[:, :, None] * packed["body_sw"]
+        invs_all = 1.0 / act_scales
     for i in range(packed["body_qw"].shape[0]):
-        h = _int8_block_math(h, packed["body_qw"][i], packed["body_sw"][i],
-                             packed["body_b"][i], res_scale)
+        h = _int8_block_math(
+            h, packed["body_qw"][i], packed["body_sw"][i],
+            packed["body_b"][i], res_scale,
+            dqs=None if act_scales is None else dqs_all[i],
+            inv_s=None if act_scales is None
+            else (invs_all[i, 0], invs_all[i, 1]))
     if use_global_residual:
         h = h + h0
     t = jnp.dot(h.astype(head_dtype), packed["tail_w"],

@@ -59,12 +59,21 @@ def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
         if not (allow_fused and _fused_eligible(model, plucker, perturb)):
             raise ValueError("int8 inference requires the fused-megakernel "
                              "profile (uniform resmlp body, eval mode, TPU)")
-        from ..ops import r2l_forward_int8
+        from ..ops.pallas.r2l_int8 import (calibrate_r2l_int8,
+                                           r2l_forward_int8)
 
+        # self-calibrated static activation scales: one small full-precision
+        # forward over a slice of the actual rays (an XLA subgraph of the
+        # same jit program) buys the fast static-scale kernel epilogue
+        n_cal = min(1024, rays_o.shape[0])
+        act_scales = calibrate_r2l_int8(
+            params, rays_o[:n_cal], rays_d[:n_cal], near, far, n_sample, L,
+            res_scale=model.res_scale)
         return r2l_forward_int8(
             params, rays_o, rays_d, near, far, n_sample, L,
             res_scale=model.res_scale,
-            use_global_residual=model.use_residual)
+            use_global_residual=model.use_residual,
+            act_scales=act_scales)
     if allow_fused and _fused_eligible(model, plucker, perturb):
         from ..ops import r2l_forward_fused
 

@@ -175,13 +175,20 @@ def test_streaming_distillation_matches_teacher(sphere_scene, trained_teacher):
     assert float(psnr(jnp.asarray(s_img), gt)) > 12.0
 
     # int8 serving path (W8A8 body, ops/pallas/r2l_int8.py): on the TRAINED
-    # student the quantization must cost well under a dB vs the teacher
+    # student the quantization must cost well under a dB vs the teacher —
+    # in both scale modes (per-row dynamic, and the production
+    # self-calibrated static)
     from efficient_nerf_tpu.core.rays import get_rays
-    from efficient_nerf_tpu.ops.pallas.r2l_int8 import r2l_forward_int8_ref
+    from efficient_nerf_tpu.ops.pallas.r2l_int8 import (calibrate_r2l_int8,
+                                                        r2l_forward_int8_ref)
 
     o, d = get_rays(H, W, focal, pose)
-    q_img = r2l_forward_int8_ref(state.params, o.reshape(-1, 3),
-                                 d.reshape(-1, 3), 2.0, 6.0,
-                                 n_sample).reshape(H, W, 3)
-    d_q = float(psnr(jnp.asarray(q_img), t_img))
-    assert d_q > d_ts - 0.5, f"int8 psnr {d_q} vs bf16-path {d_ts}"
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    sc = calibrate_r2l_int8(state.params, o[:1024], d[:1024], 2.0, 6.0,
+                            n_sample)
+    for scales in (None, sc):
+        q_img = r2l_forward_int8_ref(state.params, o, d, 2.0, 6.0, n_sample,
+                                     act_scales=scales).reshape(H, W, 3)
+        d_q = float(psnr(jnp.asarray(q_img), t_img))
+        mode = "dynamic" if scales is None else "static"
+        assert d_q > d_ts - 0.5, f"int8/{mode} psnr {d_q} vs bf16 {d_ts}"
