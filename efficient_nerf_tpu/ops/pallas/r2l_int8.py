@@ -188,7 +188,7 @@ def calibrate_r2l_int8(params, rays_o, rays_d, near: float, far: float,
 
 
 def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
-                     n_sample: int, L: int = 10, *, tile_b: int = 512,
+                     n_sample: int, L: int = 10, *, tile_b: int = 1024,
                      res_scale: float = 1.0,
                      use_global_residual: bool = False,
                      act_scales=None, head_dtype=jnp.bfloat16,

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .r2l_forward import pack_r2l_weights
+from .r2l_forward import _doubling_head_perm_np, pack_r2l_weights
+from .trig import fast_sincos
 
 __all__ = ["r2l_train_apply"]
 
@@ -44,14 +45,38 @@ class _Profile(NamedTuple):
     tile_b: int
     dtype: Any
     interpret: bool
+    embed_L: int = 0   # >0: input is [B, K] sample coords, embed in-kernel
+
+
+def _doubling_sincos_lists(p, L):
+    """Base-pair + double-angle octaves (shared by fwd and bwd kernels)."""
+    s, c = fast_sincos(p, degree=9)
+    sins, coss = [s], [c]
+    for _ in range(1, L):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    return sins, coss
+
+
+def _embed_doubling(p, L):
+    """[T, K] coords -> [T, K*(2L+1)] in the doubling block layout
+    [sins | coss | p] (head weights are row-permuted at pack time to
+    absorb it, r2l_forward._doubling_head_perm_np)."""
+    sins, coss = _doubling_sincos_lists(p, L)
+    return jnp.concatenate(sins + coss + [p], axis=-1)
 
 
 def _fwd_kernel(x_ref, head_w_ref, head_b_ref, body_w_ref, body_b_ref,
                 tail_w_ref, tail_b_ref, out_ref, hs_ref, *, n_block: int,
-                res_scale: float, use_global_residual: bool):
+                res_scale: float, use_global_residual: bool,
+                embed_L: int = 0):
     f32 = jnp.float32
     wdt = head_w_ref.dtype
-    x = x_ref[:].astype(wdt)
+    if embed_L:
+        x = _embed_doubling(x_ref[:].astype(f32), embed_L).astype(wdt)
+    else:
+        x = x_ref[:].astype(wdt)
     h = jnp.maximum(
         jnp.dot(x, head_w_ref[:], preferred_element_type=f32)
         + head_b_ref[:], 0.0)
@@ -76,7 +101,7 @@ def _bwd_kernel(dout_ref, x_ref, hs_ref, head_w_ref, body_w_ref, body_b_ref,
                 tail_w_ref, tail_b_ref,
                 dhw_ref, dhb_ref, dw_ref, db_ref, dtw_ref, dtb_ref, dx_ref,
                 *, n_block: int, res_scale: float,
-                use_global_residual: bool):
+                use_global_residual: bool, embed_L: int = 0):
     f32 = jnp.float32
     wdt = head_w_ref.dtype
     gi = pl.program_id(0)
@@ -132,9 +157,29 @@ def _bwd_kernel(dout_ref, x_ref, hs_ref, head_w_ref, body_w_ref, body_b_ref,
     # (compare in f32: the target rejects bf16 comparisons)
     dpre = jnp.where(hs_ref[0][:].astype(f32) > 0, dh, 0.0)
     dpre_b = dpre.astype(wdt)
-    dhw_ref[:] += grad_w(x_ref[:].astype(wdt), dpre_b)
-    dhb_ref[:] += jnp.sum(dpre, axis=0)
-    dx_ref[:] = grad_h(dpre_b, head_w_ref[:])
+    if embed_L:
+        # recompute the embedding (cheaper than storing the [B, in_dim]
+        # residual: one trig pair + doublings on [T, K])
+        p = x_ref[:].astype(f32)
+        sins, coss = _doubling_sincos_lists(p, embed_L)
+        emb = jnp.concatenate(sins + coss + [p], axis=-1)
+        dhw_ref[:] += grad_w(emb.astype(wdt), dpre_b)
+        dhb_ref[:] += jnp.sum(dpre, axis=0)
+        # chain through the embedding: d sin(2^j p) = 2^j cos(2^j p) dp,
+        # d cos(2^j p) = -2^j sin(2^j p) dp, blocks are K columns wide
+        demb = grad_h(dpre_b, head_w_ref[:])          # [T, K*(2L+1)] f32
+        K = p.shape[-1]
+        dp = demb[:, 2 * embed_L * K:]                # identity block
+        for j in range(embed_L):
+            f = float(2.0 ** j)
+            dp = dp + demb[:, j * K:(j + 1) * K] * (f * coss[j])
+            dp = dp - demb[:, (embed_L + j) * K:
+                           (embed_L + j + 1) * K] * (f * sins[j])
+        dx_ref[:] = dp
+    else:
+        dhw_ref[:] += grad_w(x_ref[:].astype(wdt), dpre_b)
+        dhb_ref[:] += jnp.sum(dpre, axis=0)
+        dx_ref[:] = grad_h(dpre_b, head_w_ref[:])
 
 
 def _pad_rays(x, tile_b):
@@ -164,19 +209,35 @@ def _compiler_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _pack(prof: _Profile, params):
+    """pack_r2l_weights + the doubling-layout head-row permutation when the
+    kernel embeds in-kernel (embed_L > 0)."""
+    packed = pack_r2l_weights(params, prof.dtype)
+    if prof.embed_L:
+        in_dim = packed["head_w"].shape[0]
+        K = in_dim // (2 * prof.embed_L + 1)
+        perm = _doubling_head_perm_np(K // 3, prof.embed_L) if K % 3 == 0 \
+            else None
+        assert perm is not None, "embed_L requires K divisible by 3"
+        packed["head_w"] = packed["head_w"][jnp.asarray(perm)]
+    return packed
+
+
 def _fwd_call(prof: _Profile, packed, x):
     n_block, width = packed["body_w"].shape[0], packed["body_w"].shape[-1]
     in_dim = packed["head_w"].shape[0]
+    x_cols = x.shape[-1]
     B = x.shape[0]
     xp, n_tiles = _pad_rays(x, prof.tile_b)
     kernel = functools.partial(
         _fwd_kernel, n_block=n_block, res_scale=prof.res_scale,
-        use_global_residual=prof.use_global_residual)
+        use_global_residual=prof.use_global_residual,
+        embed_L=prof.embed_L)
     out, hs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            _row_spec(prof.tile_b, in_dim),
+            _row_spec(prof.tile_b, x_cols),
             _const_spec((in_dim, width)),
             _const_spec((width,)),
             _const_spec((n_block, 2, width, width)),
@@ -204,19 +265,21 @@ def _fwd_call(prof: _Profile, packed, x):
 def _bwd_call(prof: _Profile, packed, x, hs, dout):
     n_block, width = packed["body_w"].shape[0], packed["body_w"].shape[-1]
     in_dim = packed["head_w"].shape[0]
+    x_cols = x.shape[-1]
     B = x.shape[0]
     xp, n_tiles = _pad_rays(x, prof.tile_b)
     doutp, _ = _pad_rays(dout, prof.tile_b)
     kernel = functools.partial(
         _bwd_kernel, n_block=n_block, res_scale=prof.res_scale,
-        use_global_residual=prof.use_global_residual)
+        use_global_residual=prof.use_global_residual,
+        embed_L=prof.embed_L)
     f32 = jnp.float32
     dhw, dhb, dw, db, dtw, dtb, dx = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             _row_spec(prof.tile_b, LANES),
-            _row_spec(prof.tile_b, in_dim),
+            _row_spec(prof.tile_b, x_cols),
             pl.BlockSpec((n_block + 1, prof.tile_b, width),
                          lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             _const_spec((in_dim, width)),
@@ -232,7 +295,7 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
             _const_spec((n_block, 2, width)),
             _const_spec((width, LANES)),
             _const_spec((LANES,)),
-            _row_spec(prof.tile_b, in_dim),
+            _row_spec(prof.tile_b, x_cols),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((in_dim, width), f32),
@@ -241,7 +304,7 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
             jax.ShapeDtypeStruct((n_block, 2, width), f32),
             jax.ShapeDtypeStruct((width, LANES), f32),
             jax.ShapeDtypeStruct((LANES,), f32),
-            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, in_dim), f32),
+            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, x_cols), f32),
         ],
         compiler_params=_compiler_params(prof.interpret),
         interpret=prof.interpret,
@@ -252,24 +315,33 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _apply(prof: _Profile, params, x):
-    packed = pack_r2l_weights(params, prof.dtype)
+    packed = _pack(prof, params)
     out, _ = _fwd_call(prof, packed, x)
     return out[:, :packed["out_dim"]]
 
 
 def _apply_fwd(prof: _Profile, params, x):
-    packed = pack_r2l_weights(params, prof.dtype)
+    packed = _pack(prof, params)
     out, hs = _fwd_call(prof, packed, x)
     return out[:, :packed["out_dim"]], (params, x, hs)
 
 
 def _apply_bwd(prof: _Profile, res, dout):
     params, x, hs = res
-    packed = pack_r2l_weights(params, prof.dtype)
+    packed = _pack(prof, params)
     out_dim = packed["out_dim"]
     doutp = jnp.zeros((dout.shape[0], LANES), jnp.float32)
     doutp = doutp.at[:, :out_dim].set(dout.astype(jnp.float32))
     dhw, dhb, dw, db, dtw, dtb, dx = _bwd_call(prof, packed, x, hs, doutp)
+    if prof.embed_L:
+        # the kernel computed head grads in the permuted (doubling) row
+        # order; scatter rows back to the ray_embed order
+        import numpy as _np
+        in_dim = dhw.shape[0]
+        K = in_dim // (2 * prof.embed_L + 1)
+        perm = _doubling_head_perm_np(K // 3, prof.embed_L)
+        inv = _np.argsort(perm)
+        dhw = dhw[jnp.asarray(inv)]
     grads = {
         "head": {"kernel": dhw, "bias": dhb},
         "body": {
@@ -292,14 +364,21 @@ _apply.defvjp(_apply_fwd, _apply_bwd)
 
 def r2l_train_apply(params, x, *, res_scale: float = 1.0,
                     use_global_residual: bool = False, tile_b: int = 512,
-                    dtype=jnp.bfloat16, interpret: bool = False):
+                    dtype=jnp.bfloat16, embed_L: int = 0,
+                    interpret: bool = False):
     """Differentiable fused R2L forward: x [B, in_dim] -> rgb [B, out_dim].
 
     Drop-in for `model.apply({'params': params}, x)` on the uniform
     scan-body R2LNet profile (n_learnable=2, relu inact, no outact, sigmoid
     tail). `jax.grad` through this uses the fused Pallas backward; gradients
     match the XLA path (parity-tested in tests/test_ops.py) and are f32.
+
+    embed_L > 0: x is the [B, K] flattened sample coordinates and the
+    kernel computes the positional encoding itself (double-angle recurrence
+    + fast polynomial trig — the fast_embed semantics), removing the
+    XLA-side embed and its [B, K*(2L+1)] HBM round trip; the backward
+    chains d(embed)/d(coords) analytically.
     """
     prof = _Profile(float(res_scale), bool(use_global_residual), int(tile_b),
-                    dtype, bool(interpret))
+                    dtype, bool(interpret), int(embed_L))
     return _apply(prof, params, x)

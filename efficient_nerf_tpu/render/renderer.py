@@ -54,10 +54,9 @@ class RenderConfig:
     chunk: int = 32768            # rays per compiled step in render_image
     # dispatch field evals to the Pallas teacher megakernel (inference only:
     # it has no VJP, so this must stay False for configs used under jax.grad).
-    # Off by default even at eval: measured on v5e the kernel beats XLA 1.6x
-    # on isolated point evals but only ties it inside the full frame program
-    # (XLA's fused big-M matmul chain reaches the same ~100 bf16-TFLOP/s
-    # serial MXU+VPU floor) — see docs/PERF.md.
+    # eval_mode() turns it on; measured on v5e the kernel (fast-sin embed,
+    # per-ray dirs, channel-major points) cuts the 400x400 frame from 596 to
+    # 362 ms — see docs/PERF.md.
     fused_teacher: bool = False
     # double-angle-recurrence positional encoding (~Lx fewer VPU
     # transcendentals, ~1e-4 abs error — see core/encoding._doubling_sincos).
@@ -68,7 +67,7 @@ class RenderConfig:
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise.
 
-        Also opts into the fused teacher megakernel (r2: 596 -> 477 ms per
+        Also opts into the fused teacher megakernel (r2: 596 -> 362 ms per
         400x400 frame) unless the config pins exact embeds (--exact_embed:
         the kernel's fast polynomial sine is ~1e-6-approximate, so strict
         reference-parity evals keep the XLA path). Dispatch still requires

@@ -102,15 +102,18 @@ def make_r2l_train_step(
                 pts = sample_ray_points(rays_o_aug, rays_d_aug, near, far,
                                         n_sample, key=k_perturb,
                                         perturb=perturb)
-            x = ray_embed(pts, L, fast=fast_embed)
             if fused:
                 from ..ops import r2l_train_apply
 
+                # fast_embed: the kernel embeds the raw sample coords
+                # itself (no XLA embed, no [B, K*(2L+1)] HBM round trip)
                 out = r2l_train_apply(
-                    params, x, res_scale=model.res_scale,
+                    params, pts if fast_embed else ray_embed(pts, L),
+                    res_scale=model.res_scale,
                     use_global_residual=model.use_residual,
-                    dtype=model.dtype)
+                    dtype=model.dtype, embed_L=L if fast_embed else 0)
             else:
+                x = ray_embed(pts, L, fast=fast_embed)
                 out = model.apply({"params": params}, x)
             per_ray_mse = jnp.mean(
                 (out[:, :3] - target_aug[:, :3]) ** 2, axis=-1)

@@ -187,3 +187,43 @@ def test_int8_quantization_error_bounded(rng):
     # max sensitivity); the trained-model PSNR gate lives in
     # tests/test_quality_e2e.py::test_streaming_distillation_matches_teacher
     assert diff.max() < 0.12 and diff.mean() < 0.012, (diff.max(), diff.mean())
+
+
+def test_train_vjp_in_kernel_embed_matches_xla(rng):
+    """embed_L mode: the train kernel embeds raw sample coords itself;
+    forward + all grads (incl. d/d-coords through the encoding) match the
+    XLA fast-embed + flax chain to fast-trig tolerance."""
+    from efficient_nerf_tpu.core.encoding import ray_embed
+    from efficient_nerf_tpu.ops.pallas.r2l_train import r2l_train_apply
+
+    n_sample, L = 4, 10
+    K = n_sample * 3
+    in_dim = K * (2 * L + 1)
+    model = R2LNet(input_dim=in_dim, depth=10, width=32, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, in_dim)))["params"]
+    pts = jnp.asarray(rng.normal(size=(37, K)).astype(np.float32)) * 3.0
+    t = jnp.asarray(rng.uniform(size=(37, 3)).astype(np.float32))
+
+    out_ref = model.apply({"params": params}, ray_embed(pts, L, fast=True))
+    out_f = r2l_train_apply(params, pts, tile_b=16, dtype=jnp.float32,
+                            embed_L=L, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=2e-4)
+
+    def loss_ref(p, c):
+        x = ray_embed(c, L, fast=True)
+        return jnp.mean((model.apply({"params": p}, x) - t) ** 2)
+
+    def loss_f(p, c):
+        o = r2l_train_apply(p, c, tile_b=16, dtype=jnp.float32, embed_L=L,
+                            interpret=True)
+        return jnp.mean((o - t) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, pts)
+    g_f = jax.grad(loss_f, argnums=(0, 1))(params, pts)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_f)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale)
