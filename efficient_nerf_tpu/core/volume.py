@@ -21,7 +21,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["RenderOutputs", "raw2outputs", "exclusive_cumprod"]
+__all__ = ["RenderOutputs", "raw2outputs", "raw2outputs_cm",
+           "exclusive_cumprod"]
 
 
 class RenderOutputs(NamedTuple):
@@ -80,6 +81,55 @@ def raw2outputs(
     weights = alpha * trans
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RenderOutputs(rgb_map, disp_map, acc_map, weights, depth_map)
+
+
+def raw2outputs_cm(
+    raw_cm: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    raw_noise_std: float = 0.0,
+    white_bkgd: bool = False,
+    noise_key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+) -> RenderOutputs:
+    """Channel-major twin of `raw2outputs`: raw_cm is [4, N, S].
+
+    Same math, different layout. A [N, S, 4] tensor has minor dim 4, which
+    the TPU lane-pads 4 -> 128 (32x wasted VPU lanes and relayout traffic on
+    every elementwise op of the composite chain). With the channel axis
+    leading, every heavy op runs on [N, S] arrays whose minor dim is the
+    sample count — this is the layout the fused teacher kernel
+    (ops/pallas/nerf_forward.py) already produces, so the whole
+    kernel -> composite chain stays channel-major with one tiny [3, N] ->
+    [N, 3] transpose at the very end.
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1)[..., None]
+
+    rgb = jax.nn.sigmoid(raw_cm[:3])                       # [3, N, S]
+
+    sigma = raw_cm[3]                                      # [N, S]
+    if raw_noise_std > 0.0:
+        if noise is None:
+            noise = jax.random.normal(noise_key, sigma.shape) * raw_noise_std
+        sigma = sigma + noise
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    trans = exclusive_cumprod(1.0 - alpha + 1e-10, axis=-1)
+    weights = alpha * trans                                # [N, S]
+
+    rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T      # [N, 3]
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
     disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)

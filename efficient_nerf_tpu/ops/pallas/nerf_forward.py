@@ -244,7 +244,8 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
 def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
                        *, skip: int = 4, tile_p: int = 3072,
                        dtype=jnp.bfloat16, interleave: int = 2,
-                       diag: str = "", interpret: bool = False):
+                       diag: str = "", interpret: bool = False,
+                       cm: bool = False):
     """Fused teacher field evaluation.
 
     pts: [N, S, 3] sample points (S samples per ray); viewdirs: [N, 3]
@@ -252,13 +253,25 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     rgb, pre-relu sigma) — identical layout to NeRFMLP.apply on
     concat([nerf_embed(pts, L), nerf_embed(viewdirs, L_views)]).
 
+    cm=True is the end-to-end channel-major interface: pts is [3, N, S] and
+    the return is raw [4, N, S]. The kernel is channel-major internally
+    either way; cm skips BOTH boundary transposes ([N, S, 3] row tensors
+    lane-pad 3 -> 128, a 42.7x relayout on megabytes of points, and the
+    [P, 4] output transpose pays the same 32x on the way out). Callers that
+    composite with core.volume.raw2outputs_cm never touch a minor-dim-3/4
+    tensor at all.
+
     The grid tiles rays: R_t = max(1, tile_p // S) rays (R_t * S points)
     per step; directions are embedded per ray in the wrapper (linearized
     jnp, same math as the kernel's point embed).
     """
     packed = pack_nerf_weights(params, skip=skip, dtype=dtype)
-    assert pts.ndim == 3 and pts.shape[-1] == 3, "pts must be [N, S, 3]"
-    N, S = pts.shape[0], pts.shape[1]
+    if cm:
+        assert pts.ndim == 3 and pts.shape[0] == 3, "cm pts must be [3, N, S]"
+        N, S = pts.shape[1], pts.shape[2]
+    else:
+        assert pts.ndim == 3 and pts.shape[-1] == 3, "pts must be [N, S, 3]"
+        N, S = pts.shape[0], pts.shape[1]
     assert viewdirs.shape == (N, 3), "viewdirs must be per-ray [N, 3]"
 
     in_ch, in_ch_views = packed["in_ch"], packed["in_ch_views"]
@@ -274,12 +287,18 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
         r_t -= 1
     n_tiles = -(-N // r_t)
     pad = n_tiles * r_t - N
-    if pad:
-        pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
-        dirs_emb = jnp.pad(dirs_emb, ((0, pad), (0, 0)))
-    # channel-major [3, P]: XLA lane-pads a [P, 3] tensor 42.7x (3 -> 128
-    # lanes); this layout pads 2.7x and the kernel contracts dim 0 directly
-    pts_cm = pts.reshape(-1, 3).T
+    if cm:
+        if pad:
+            pts = jnp.pad(pts, ((0, 0), (0, pad), (0, 0)))
+            dirs_emb = jnp.pad(dirs_emb, ((0, pad), (0, 0)))
+        pts_cm = pts.reshape(3, -1)
+    else:
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0), (0, 0)))
+            dirs_emb = jnp.pad(dirs_emb, ((0, pad), (0, 0)))
+        # channel-major [3, P]: XLA lane-pads a [P, 3] tensor 42.7x (3 -> 128
+        # lanes); this layout pads 2.7x and the kernel contracts dim 0 directly
+        pts_cm = pts.reshape(-1, 3).T
     tile = r_t * S
 
     def const_spec(shape):
@@ -323,4 +342,6 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
       packed["views_h_w"], packed["views_d_w"], packed["views_b"],
       packed["out_w_hv"], packed["out_w_h"], packed["out_b"])
 
+    if cm:
+        return out[:, :N * S].reshape(4, N, S)
     return out[:, :N * S].T.reshape(N, S, 4)

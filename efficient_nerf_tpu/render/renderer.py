@@ -29,7 +29,7 @@ from ..core.encoding import nerf_embed
 from ..core.rays import get_rays, ndc_rays
 from ..core.sampling import (linear_zvals, merge_sorted, sample_pdf,
                              stratify_zvals)
-from ..core.volume import raw2outputs
+from ..core.volume import raw2outputs, raw2outputs_cm
 
 __all__ = ["RenderConfig", "RenderResult", "render_rays", "render_image",
            "make_ray_renderer"]
@@ -127,6 +127,28 @@ def _query(model, params, pts, viewdirs, cfg: RenderConfig):
     return model.apply({"params": params}, emb)
 
 
+def _query_composite_cm(model, params, rays_o, rays_d, z_vals, viewdirs,
+                        cfg: RenderConfig, noise_key=None, noise=None):
+    """Fused field eval + composite, channel-major end to end.
+
+    Builds the sample points directly as [3, N, S] (a [N, S, 3] points
+    tensor has minor dim 3, which the TPU lane-pads 42.7x — measured to
+    dominate the pre-kernel cost), feeds the megakernel in cm mode, and
+    composites the [4, N, S] raw output with raw2outputs_cm: no minor-dim-
+    3/4 tensor exists anywhere between ray decode and the final [N, 3] rgb.
+    """
+    from ..ops import nerf_forward_fused
+
+    pts_cm = (rays_o.T[:, :, None]
+              + rays_d.T[:, :, None] * z_vals[None])       # [3, N, S]
+    raw_cm = nerf_forward_fused(params, pts_cm, viewdirs,
+                                cfg.multires, cfg.multires_views,
+                                skip=tuple(model.skips)[0],
+                                dtype=model.dtype, cm=True)
+    return raw2outputs_cm(raw_cm, z_vals, rays_d, cfg.raw_noise_std,
+                          cfg.white_bkgd, noise_key=noise_key, noise=noise)
+
+
 def render_rays(
     model: Any,
     params_coarse,
@@ -162,10 +184,16 @@ def render_rays(
     if cfg.perturb:
         z_vals = stratify_zvals(k_strat, z_vals, t_rand)
 
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-    raw = _query(model, params_coarse, pts, viewdirs, cfg)
-    coarse = raw2outputs(raw, z_vals, rays_d, cfg.raw_noise_std,
-                         cfg.white_bkgd, noise_key=k_noise_c, noise=noise)
+    fused = _nerf_fused_eligible(model, cfg)
+    if fused:
+        coarse = _query_composite_cm(model, params_coarse, rays_o, rays_d,
+                                     z_vals, viewdirs, cfg,
+                                     noise_key=k_noise_c, noise=noise)
+    else:
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+        raw = _query(model, params_coarse, pts, viewdirs, cfg)
+        coarse = raw2outputs(raw, z_vals, rays_d, cfg.raw_noise_std,
+                             cfg.white_bkgd, noise_key=k_noise_c, noise=noise)
 
     if cfg.n_importance <= 0:
         zeros = jnp.zeros((n_rays,), rays_o.dtype)
@@ -186,11 +214,16 @@ def render_rays(
         # determinism hook supplies arbitrary-order u -> general sort.
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
 
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
     params_f = params_fine if params_fine is not None else params_coarse
-    raw = _query(model, params_f, pts, viewdirs, cfg)
-    fine = raw2outputs(raw, z_all, rays_d, cfg.raw_noise_std,
-                       cfg.white_bkgd, noise_key=k_noise_f, noise=None)
+    if fused:
+        fine = _query_composite_cm(model, params_f, rays_o, rays_d,
+                                   z_all, viewdirs, cfg,
+                                   noise_key=k_noise_f, noise=None)
+    else:
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+        raw = _query(model, params_f, pts, viewdirs, cfg)
+        fine = raw2outputs(raw, z_all, rays_d, cfg.raw_noise_std,
+                           cfg.white_bkgd, noise_key=k_noise_f, noise=None)
 
     z_std = jnp.std(z_samples, axis=-1)
     return RenderResult(fine.rgb, fine.disp, fine.acc, fine.depth,

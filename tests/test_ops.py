@@ -89,6 +89,36 @@ def test_teacher_megakernel_interpret_matches_flax(rng):
     assert got.shape == (N, S, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
 
+    # channel-major interface: pts [3, N, S] in, raw [4, N, S] out —
+    # identical numbers, no boundary transposes (the production eval path,
+    # renderer._query_composite_cm)
+    got_cm = nerf_forward_fused(params, jnp.moveaxis(pts, -1, 0), vd, L, Lv,
+                                tile_p=16, dtype=jnp.float32, interpret=True,
+                                cm=True)
+    assert got_cm.shape == (4, N, S)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(got_cm, 0, -1)),
+                               np.asarray(got), atol=1e-6)
+
+
+def test_raw2outputs_cm_matches_row_major(rng):
+    """Channel-major composite twin vs raw2outputs on the same raw field."""
+    from efficient_nerf_tpu.core.volume import raw2outputs, raw2outputs_cm
+
+    N, S = 11, 9
+    raw = jnp.asarray(rng.normal(size=(N, S, 4)).astype(np.float32))
+    z = jnp.sort(jnp.asarray(
+        rng.uniform(2.0, 6.0, size=(N, S)).astype(np.float32)), axis=-1)
+    d = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=(N, S)).astype(np.float32))
+
+    for wb, std in ((False, 0.0), (True, 0.7)):
+        want = raw2outputs(raw, z, d, std, wb, noise=noise)
+        got = raw2outputs_cm(jnp.moveaxis(raw, -1, 0), z, d, std, wb,
+                             noise=noise)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
 
 @pytest.mark.parametrize("grs,res_scale", [(False, 1.0), (True, 0.5)])
 def test_train_vjp_interpret_matches_jax_grad(grs, res_scale, rng):
