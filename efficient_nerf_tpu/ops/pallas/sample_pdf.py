@@ -1,0 +1,91 @@
+"""Fused inverse-CDF importance sampler (Pallas, deterministic eval path).
+
+The device-native `core.sampling.sample_pdf` already replaced the
+reference's CPU round trip (helpers.py:283-330, called at main.py:722-728)
+with a gather-free dense masked interpolation. Under XLA that formulation
+still materializes / re-reads [N, S, C] broadcast intermediates between the
+compare, interpolate and reduce stages; this kernel runs the identical math
+per ray tile entirely in VMEM, so HBM traffic is weights/bins in and
+samples out (~1 KB/ray), and the C-interval reduction becomes a loop of
+[tile, S] FMAs on the VPU.
+
+Deterministic levels only (u = linspace, the eval/pseudo-data path — the
+training path draws random u and keeps the XLA formulation). Semantics are
+bit-comparable to sample_pdf(det=True): same 1e-5 weight floor, same
+denom < 1e-5 guard, same right-closed top interval handling.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sample_pdf_det_fused"]
+
+
+def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
+    """bins [T, C], weights [T, C-1], u [1, S] -> samples [T, S]."""
+    f32 = jnp.float32
+    w = w_ref[:].astype(f32) + 1e-5                       # [T, C-1]
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)                        # [T, C-1]
+    bins = bins_ref[:].astype(f32)                        # [T, C]
+    u = u_ref[:].astype(f32)                              # [1, S]
+
+    t_rows = w.shape[0]
+    s = u.shape[1]
+    acc = jnp.zeros((t_rows, s), f32)
+    # interval c spans [cdf_{c-1}, cdf_c) with cdf_{-1} = 0; bins_lo/hi are
+    # per-ray scalars lane-broadcast against the S sample levels.
+    cdf_lo = jnp.zeros((t_rows, 1), f32)
+    for c in range(n_bins - 1):
+        cdf_hi = cdf[:, c:c + 1]                          # [T, 1]
+        mask = (cdf_lo <= u) & (u < cdf_hi)               # [T, S]
+        denom = cdf_hi - cdf_lo
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        t = (u - cdf_lo) / denom
+        b_lo = bins[:, c:c + 1]
+        val = b_lo + t * (bins[:, c + 1:c + 2] - b_lo)
+        acc = acc + jnp.where(mask, val, 0.0)
+        cdf_lo = cdf_hi
+    # u >= cdf[-1] (incl. u == 1.0 at the det linspace top) -> last bin edge
+    acc = acc + (u >= cdf[:, -1:]) * bins[:, -1:]
+    out_ref[:] = acc
+
+
+def sample_pdf_det_fused(bins, weights, n_samples: int, *, tile_n: int = 1024,
+                         interpret: bool = False):
+    """Deterministic inverse-CDF sampling: bins [N, C], weights [N, C-1]
+    -> sorted samples [N, n_samples]. Same math as
+    core.sampling.sample_pdf(det=True)."""
+    n, c = bins.shape
+    assert weights.shape == (n, c - 1)
+    u = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+
+    n_tiles = -(-n // tile_n)
+    pad = n_tiles * tile_n - n
+    if pad:
+        bins = jnp.pad(bins, ((0, pad), (0, 0)), constant_values=1.0)
+        weights = jnp.pad(weights, ((0, pad), (0, 0)), constant_values=1.0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_bins=c),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, c - 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_samples), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, n_samples), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, n_samples),
+                                       jnp.float32),
+        interpret=interpret,
+    )(bins, weights, u)
+    return out[:n]

@@ -35,10 +35,15 @@ variant = sys.argv[1] if len(sys.argv) > 1 else "bf16_fast_fused"
 dtype = jnp.float32 if "f32" in variant else jnp.bfloat16
 fast = "fast" in variant
 fused = "fused" in variant
+# ablation knobs (timing attribution, not production configs):
+#   nohard — drop the hard-example pool (isolates top_k/pool cost)
+#   sgd    — plain SGD instead of Adam (isolates the optimizer update)
+if "nohard" in variant:
+    HARD = None
+opt = optax.sgd(5e-4) if "sgd" in variant else optax.adam(5e-4)
 
 model = R2LNet(input_dim=input_dim, depth=88, width=256, dtype=dtype)
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, input_dim)))["params"]
-opt = optax.adam(5e-4)
 step = make_r2l_train_step(model, opt, near=2.0, far=6.0, n_sample=n_sample,
                            L=L, hard=HARD, fast_embed=fast, fused=fused,
                            jit=False, donate=False)

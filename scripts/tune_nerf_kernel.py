@@ -39,8 +39,12 @@ dirs = jnp.asarray(rng.normal(size=(N_RAYS, 3)).astype(np.float32))
 
 VARIANTS = {
     "base_t2048": dict(tile_p=2048),
+    "base_t3072": dict(tile_p=3072),
     "base_t4096": dict(tile_p=4096),
     "base_t8192": dict(tile_p=8192),
+    "base_t16384": dict(tile_p=16384),
+    "il1_t4096": dict(tile_p=4096, interleave=1),
+    "il4_t8192": dict(tile_p=8192, interleave=4),
     "il2_t4096": dict(tile_p=4096, interleave=2),
     "nosincos_t4096": dict(tile_p=4096, diag="nosincos"),
     "noviews_t4096": dict(tile_p=4096, diag="noviews"),

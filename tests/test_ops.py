@@ -100,6 +100,22 @@ def test_teacher_megakernel_interpret_matches_flax(rng):
                                np.asarray(got), atol=1e-6)
 
 
+def test_sample_pdf_fused_matches_core(rng):
+    """Fused det inverse-CDF kernel (interpret) vs core.sampling.sample_pdf,
+    including degenerate rows (all-zero weights, single spike)."""
+    from efficient_nerf_tpu.core.sampling import sample_pdf
+    from efficient_nerf_tpu.ops.pallas.sample_pdf import sample_pdf_det_fused
+
+    N, C, S = 37, 63, 128
+    bins = jnp.asarray(np.sort(
+        rng.uniform(2.0, 6.0, size=(N, C)).astype(np.float32), -1))
+    w = jnp.asarray(rng.uniform(size=(N, C - 1)).astype(np.float32))
+    w = w.at[0].set(0.0).at[1].set(jnp.zeros(C - 1).at[5].set(100.0))
+    want = sample_pdf(None, bins, w, S, det=True)
+    got = sample_pdf_det_fused(bins, w, S, tile_n=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_raw2outputs_cm_matches_row_major(rng):
     """Channel-major composite twin vs raw2outputs on the same raw field."""
     from efficient_nerf_tpu.core.volume import raw2outputs, raw2outputs_cm
