@@ -19,7 +19,8 @@ import jax.numpy as jnp
 __all__ = ["ray_points_embed", "fused_r2l_available", "r2l_forward_fused",
            "fused_ray_embed_available", "fused_nerf_available",
            "nerf_forward_fused", "fused_r2l_train_available",
-           "r2l_train_apply", "r2l_forward_int8"]
+           "r2l_train_apply", "r2l_forward_int8",
+           "sample_pdf_det_fused"]
 
 
 def _on_tpu() -> bool:
@@ -120,5 +121,13 @@ def r2l_forward_int8(*args, **kwargs):
     """W8A8 serving kernel (ops/pallas/r2l_int8.py); gate with
     fused_r2l_available()."""
     from .pallas.r2l_int8 import r2l_forward_int8 as impl
+
+    return impl(*args, **kwargs)
+
+
+def sample_pdf_det_fused(*args, **kwargs):
+    """Fused deterministic inverse-CDF sampler (ops/pallas/sample_pdf.py);
+    gate with fused_nerf_available() — it rides the teacher eval path."""
+    from .pallas.sample_pdf import sample_pdf_det_fused as impl
 
     return impl(*args, **kwargs)

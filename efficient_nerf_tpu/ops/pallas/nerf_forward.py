@@ -157,7 +157,7 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
             feat_w_ref, feat_b_ref, views_h_w_ref, views_d_w_ref, views_b_ref,
             out_w_hv_ref, out_w_h_ref, out_b_ref, out_ref, *,
             depth: int, skip: int, s_per_ray: int, interleave: int,
-            diag: str = ""):
+            t_out: bool = False, diag: str = ""):
     f32 = jnp.float32
     # Matmul accumulators must be 32-bit on the MXU (Mosaic rejects bf16
     # preferred_element_type); the epilogue (bias+relu) runs in f32 and h is
@@ -218,6 +218,26 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
 
     for k in K:
         h = hs[k].astype(wdt)
+        if t_out:
+            # transposed epilogue: run the two output matmuls with the
+            # feature axis contracted against the LEFT operand so the MXU
+            # itself produces [LANES, sub] — the channel-major layout the
+            # output wants. The former raw[:, :4].T was a minor-dim-4
+            # VPU transpose per sub-tile; here it becomes a sublane slice.
+            tm = (((0,), (1,)), ((), ()))
+            alpha_t = jax.lax.dot_general(out_w_h_ref[:], h, tm,
+                                          preferred_element_type=f32)
+            feat = (jnp.dot(h, feat_w_ref[:], preferred_element_type=f32)
+                    + feat_b_ref[:].astype(f32)).astype(wdt)
+            hv = (jnp.dot(feat, views_h_w_ref[:], preferred_element_type=f32)
+                  + bcast_rays(hv_d_ray[k * rsub:(k + 1) * rsub], rsub)
+                  + views_b_ref[:].astype(f32))
+            hv = jnp.maximum(hv, 0.0).astype(wdt)
+            rgb_t = jax.lax.dot_general(out_w_hv_ref[:], hv, tm,
+                                        preferred_element_type=f32)
+            raw_t = alpha_t + rgb_t + out_b_ref[:][:, None]  # [LANES, sub]
+            out_ref[:, k * sub:(k + 1) * sub] = raw_t[:4, :]
+            continue
         alpha_part = jnp.dot(h, out_w_h_ref[:], preferred_element_type=f32)
         if "noviews" in diag:   # diagnostic: cost of the whole view branch
             out_ref[:, k * sub:(k + 1) * sub] = (
@@ -242,10 +262,19 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
 
 
 def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
-                       *, skip: int = 4, tile_p: int = 3072,
-                       dtype=jnp.bfloat16, interleave: int = 2,
+                       *, skip: int = 4, tile_p: int = 4096,
+                       dtype=jnp.bfloat16, interleave: int = 1,
+                       t_out: bool = False,
                        diag: str = "", interpret: bool = False,
                        cm: bool = False):
+    # Defaults from the r2 diagnostic sweep (scripts/tune_nerf_kernel.py on
+    # v5e): a single un-interleaved chain at tile_p=4096 runs 153 TFLOP/s vs
+    # 144.6 for the former interleave=2/tile 3072 — with one chain Mosaic
+    # already overlaps the epilogue with the next layer's matmul, and the
+    # split chains halve the matmul M dim for no gain. t_out (MXU-transposed
+    # output epilogue) measured neutral (15.81 vs 15.74 ms/2M pts) and stays
+    # off; nosincos/noviews diags bound the trig at ~6% and the whole view
+    # branch at ~10% — proportionate to their FLOPs, no outlier left.
     """Fused teacher field evaluation.
 
     pts: [N, S, 3] sample points (S samples per ray); viewdirs: [N, 3]
@@ -324,7 +353,8 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     assert tile % interleave == 0 and r_t % interleave == 0
     out = pl.pallas_call(
         functools.partial(_kernel, depth=depth, skip=packed["skip"],
-                          s_per_ray=S, interleave=interleave, diag=diag),
+                          s_per_ray=S, interleave=interleave, t_out=t_out,
+                          diag=diag),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),

@@ -31,7 +31,6 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
     f32 = jnp.float32
     w = w_ref[:].astype(f32) + 1e-5                       # [T, C-1]
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)                        # [T, C-1]
     bins = bins_ref[:].astype(f32)                        # [T, C]
     u = u_ref[:].astype(f32)                              # [1, S]
 
@@ -39,10 +38,14 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
     s = u.shape[1]
     acc = jnp.zeros((t_rows, s), f32)
     # interval c spans [cdf_{c-1}, cdf_c) with cdf_{-1} = 0; bins_lo/hi are
-    # per-ray scalars lane-broadcast against the S sample levels.
+    # per-ray scalars lane-broadcast against the S sample levels. The CDF is
+    # accumulated sequentially inside the same loop (cumsum has no Mosaic
+    # lowering, and sequential adds reproduce jnp.cumsum's CPU rounding
+    # exactly — the denom < 1e-5 duplicate-interval guard is rounding-
+    # sensitive, so the association order is semantics here, not style).
     cdf_lo = jnp.zeros((t_rows, 1), f32)
     for c in range(n_bins - 1):
-        cdf_hi = cdf[:, c:c + 1]                          # [T, 1]
+        cdf_hi = cdf_lo + pdf[:, c:c + 1]                 # [T, 1]
         mask = (cdf_lo <= u) & (u < cdf_hi)               # [T, S]
         denom = cdf_hi - cdf_lo
         denom = jnp.where(denom < 1e-5, 1.0, denom)
@@ -51,9 +54,15 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
         val = b_lo + t * (bins[:, c + 1:c + 2] - b_lo)
         acc = acc + jnp.where(mask, val, 0.0)
         cdf_lo = cdf_hi
-    # u >= cdf[-1] (incl. u == 1.0 at the det linspace top) -> last bin edge
-    acc = acc + (u >= cdf[:, -1:]) * bins[:, -1:]
-    out_ref[:] = acc
+    # u >= cdf[-1] -> last bin edge
+    acc = acc + (u >= cdf_lo) * bins[:, -1:]
+    # The top det level u == 1.0 is rounding-ambiguous in the textbook
+    # formulation: whether it takes the tail or interpolates the final
+    # (possibly degenerate) interval depends on whether the accumulated
+    # cdf total rounded above or below 1.0 — core/reference inherit the
+    # same instability from their cumsum. Pin it: the top level IS the
+    # top bin edge.
+    out_ref[:] = jnp.where(u >= 1.0, bins[:, -1:], acc)
 
 
 def sample_pdf_det_fused(bins, weights, n_samples: int, *, tile_n: int = 1024,

@@ -201,9 +201,18 @@ def render_rays(
                             coarse.rgb, coarse.disp, coarse.acc, zeros)
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(k_pdf, z_mid, coarse.weights[..., 1:-1],
-                           cfg.n_importance, det=not cfg.perturb, u=u,
-                           sorted_u=True)
+    if fused and u is None and not cfg.perturb:
+        # deterministic eval path on TPU: the Pallas inverse-CDF kernel runs
+        # the identical dense masked interpolation per ray tile in VMEM
+        # (no [N, S, C] broadcast intermediates touch HBM)
+        from ..ops import sample_pdf_det_fused
+
+        z_samples = sample_pdf_det_fused(z_mid, coarse.weights[..., 1:-1],
+                                         cfg.n_importance)
+    else:
+        z_samples = sample_pdf(k_pdf, z_mid, coarse.weights[..., 1:-1],
+                               cfg.n_importance, det=not cfg.perturb, u=u,
+                               sorted_u=True)
     z_samples = jax.lax.stop_gradient(z_samples)
     if u is None:
         # z_samples is per-ray sorted (det linspace / sorted_uniform draws),

@@ -86,13 +86,15 @@ def frame_stage(c):
     return fn
 
 
+_CHUNKS_PER_FRAME = -(-N_RAYS // CHUNK)   # frames run ceil(N/chunk) chunks
+
 STAGES = {
-    "coarse_eval": (eval_stage(cfg, S_C), N_RAYS // CHUNK),
-    "fine_eval": (eval_stage(cfg, S_C + S_F), N_RAYS // CHUNK),
-    "coarse_eval_fused": (eval_stage(cfg_fused, S_C), N_RAYS // CHUNK),
-    "fine_eval_fused": (eval_stage(cfg_fused, S_C + S_F), N_RAYS // CHUNK),
-    "composite": (composite_stage, N_RAYS // CHUNK),
-    "sample_pdf": (sample_pdf_stage, N_RAYS // CHUNK),
+    "coarse_eval": (eval_stage(cfg, S_C), _CHUNKS_PER_FRAME),
+    "fine_eval": (eval_stage(cfg, S_C + S_F), _CHUNKS_PER_FRAME),
+    "coarse_eval_fused": (eval_stage(cfg_fused, S_C), _CHUNKS_PER_FRAME),
+    "fine_eval_fused": (eval_stage(cfg_fused, S_C + S_F), _CHUNKS_PER_FRAME),
+    "composite": (composite_stage, _CHUNKS_PER_FRAME),
+    "sample_pdf": (sample_pdf_stage, _CHUNKS_PER_FRAME),
     "frame": (frame_stage(cfg), 1),
     "frame_fused": (frame_stage(cfg_fused), 1),
     # whole frame as ONE chunk program (no lax.scan over chunks)

@@ -44,6 +44,14 @@ VARIANTS = {
     "base_t8192": dict(tile_p=8192),
     "base_t16384": dict(tile_p=16384),
     "il1_t4096": dict(tile_p=4096, interleave=1),
+    "il1_t4096_tout": dict(tile_p=4096, interleave=1, t_out=True),
+    "il2_t3072_tout": dict(tile_p=3072, interleave=2, t_out=True),
+    "il1_t4096_nosincos": dict(tile_p=4096, interleave=1, diag="nosincos"),
+    "il1_t4096_noviews": dict(tile_p=4096, interleave=1, diag="noviews"),
+    "il1_t4096_notranspose": dict(tile_p=4096, interleave=1,
+                                  diag="notranspose"),
+    "il1_t6144": dict(tile_p=6144, interleave=1),
+    "il1_t2048": dict(tile_p=2048, interleave=1),
     "il4_t8192": dict(tile_p=8192, interleave=4),
     "il2_t4096": dict(tile_p=4096, interleave=2),
     "nosincos_t4096": dict(tile_p=4096, diag="nosincos"),

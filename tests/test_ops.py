@@ -111,9 +111,17 @@ def test_sample_pdf_fused_matches_core(rng):
         rng.uniform(2.0, 6.0, size=(N, C)).astype(np.float32), -1))
     w = jnp.asarray(rng.uniform(size=(N, C - 1)).astype(np.float32))
     w = w.at[0].set(0.0).at[1].set(jnp.zeros(C - 1).at[5].set(100.0))
-    want = sample_pdf(None, bins, w, S, det=True)
-    got = sample_pdf_det_fused(bins, w, S, tile_n=16, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    want = np.asarray(sample_pdf(None, bins, w, S, det=True))
+    got = np.asarray(sample_pdf_det_fused(bins, w, S, tile_n=16,
+                                          interpret=True))
+    # levels below the top match the core formulation up to cumsum
+    # association (the kernel accumulates the CDF sequentially; jnp.cumsum
+    # is a parallel prefix — ~1e-7 boundary shifts amplify to ~1e-5 in z);
+    # the top level u == 1.0 is pinned to the top bin edge (core/reference
+    # leave it rounding-ambiguous on degenerate CDFs — see the kernel
+    # docstring)
+    np.testing.assert_allclose(got[:, :-1], want[:, :-1], atol=5e-5)
+    np.testing.assert_allclose(got[:, -1], np.asarray(bins)[:, -1], atol=1e-6)
 
 
 def test_raw2outputs_cm_matches_row_major(rng):
