@@ -152,6 +152,22 @@ def pack_nerf_weights(params, skip: int = 4, dtype=jnp.bfloat16):
     }
 
 
+def _ray_tile(S: int, tile_p: int, interleave: int = 1) -> int:
+    """Rays per grid step. Mosaic block alignment (enforced as of jax 0.9):
+    a block dim must be a multiple of the hardware tiling (8 on the sublane
+    dim, 128 on the lane dim) unless it equals the full array dim. The
+    [3, r_t*S] points block needs r_t*S % 128 == 0 and the [r_t, E_views]
+    dirs block r_t % 8 == 0, so r_t is the largest multiple of
+    lcm(8, 128/gcd(S, 128), interleave) that fits tile_p points (at least
+    one such multiple)."""
+    import math
+    g = 128 // math.gcd(S, 128)
+    step = 8 * g // math.gcd(8, g)
+    if interleave > 1:
+        step = step * interleave // math.gcd(step, interleave)
+    return max(step, (tile_p // S) // step * step)
+
+
 def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
             pts0_w_ref, pts0_b_ref, body_w_ref, body_b_ref, skip_x_w_ref,
             feat_w_ref, feat_b_ref, views_h_w_ref, views_d_w_ref, views_b_ref,
@@ -311,9 +327,7 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     # per-ray embedded directions (f32; the kernel casts to the weight dtype)
     dirs_emb = _linearized_embed(viewdirs.astype(jnp.float32), L_views)
 
-    r_t = max(1, tile_p // S)
-    while r_t > 1 and r_t % interleave:
-        r_t -= 1
+    r_t = _ray_tile(S, tile_p, interleave)
     n_tiles = -(-N // r_t)
     pad = n_tiles * r_t - N
     if cm:

@@ -281,3 +281,20 @@ def test_train_vjp_in_kernel_embed_matches_xla(rng):
         scale = float(jnp.max(jnp.abs(a))) + 1e-12
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4 * scale)
+
+
+def test_teacher_ray_tile_block_alignment():
+    # Mosaic (jax >= 0.9) rejects VMEM blocks whose sublane dim is not a
+    # multiple of 8 or whose lane dim is not a multiple of 128 (unless equal
+    # to the array dim). The teacher kernel's [3, r_t*S] points block and
+    # [r_t, E] dirs block must therefore satisfy r_t % 8 == 0 and
+    # (r_t * S) % 128 == 0 for every sample count the renderer produces
+    # (coarse S=64, fine S=64+128=192, plus odd ablation values).
+    from efficient_nerf_tpu.ops.pallas.nerf_forward import _ray_tile
+
+    for S in (16, 32, 64, 96, 128, 191, 192, 256):
+        for il in (1, 2, 4):
+            r_t = _ray_tile(S, 4096, il)
+            assert r_t % 8 == 0, (S, il, r_t)
+            assert (r_t * S) % 128 == 0, (S, il, r_t)
+            assert r_t % il == 0, (S, il, r_t)
