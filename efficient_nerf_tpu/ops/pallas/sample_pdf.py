@@ -36,24 +36,36 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
 
     t_rows = w.shape[0]
     s = u.shape[1]
-    acc = jnp.zeros((t_rows, s), f32)
     # interval c spans [cdf_{c-1}, cdf_c) with cdf_{-1} = 0; bins_lo/hi are
     # per-ray scalars lane-broadcast against the S sample levels. The CDF is
     # accumulated sequentially inside the same loop (cumsum has no Mosaic
-    # lowering, and sequential adds reproduce jnp.cumsum's CPU rounding
-    # exactly — the denom < 1e-5 duplicate-interval guard is rounding-
-    # sensitive, so the association order is semantics here, not style).
-    cdf_lo = jnp.zeros((t_rows, 1), f32)
-    for c in range(n_bins - 1):
-        cdf_hi = cdf_lo + pdf[:, c:c + 1]                 # [T, 1]
+    # lowering, and sequential adds match jnp.cumsum's rounding to ~1e-7 —
+    # the denom < 1e-5 duplicate-interval guard is rounding-sensitive, so
+    # the association order is semantics here, not style). The loop is a
+    # fori_loop, NOT a Python unroll: jax 0.9's Mosaic stack allocator gives
+    # every unrolled iteration its own [T, S] temporary slots (62 x 3 tiles
+    # blew the scoped-vmem budget at ~86 MB); the carried loop reuses one
+    # set. Mosaic has no dynamic lane slice, so instead of indexing interval
+    # c the carried operands are lane-ROTATED by one each iteration and the
+    # body reads the (static) leading lane.
+    def body(_, carry):
+        acc, cdf_lo, pdf_r, bins_r = carry
+        cdf_hi = cdf_lo + pdf_r[:, :1]
         mask = (cdf_lo <= u) & (u < cdf_hi)               # [T, S]
         denom = cdf_hi - cdf_lo
         denom = jnp.where(denom < 1e-5, 1.0, denom)
         t = (u - cdf_lo) / denom
-        b_lo = bins[:, c:c + 1]
-        val = b_lo + t * (bins[:, c + 1:c + 2] - b_lo)
-        acc = acc + jnp.where(mask, val, 0.0)
-        cdf_lo = cdf_hi
+        b_lo = bins_r[:, :1]
+        val = b_lo + t * (bins_r[:, 1:2] - b_lo)
+        # rotate left by one (pltpu.roll rejects negative shifts)
+        return (acc + jnp.where(mask, val, 0.0), cdf_hi,
+                pltpu.roll(pdf_r, pdf_r.shape[1] - 1, 1),
+                pltpu.roll(bins_r, bins_r.shape[1] - 1, 1))
+
+    acc, cdf_lo, _, _ = jax.lax.fori_loop(
+        0, n_bins - 1, body,
+        (jnp.zeros((t_rows, s), f32), jnp.zeros((t_rows, 1), f32),
+         pdf, bins))
     # u >= cdf[-1] -> last bin edge
     acc = acc + (u >= cdf_lo) * bins[:, -1:]
     # The top det level u == 1.0 is rounding-ambiguous in the textbook
