@@ -298,3 +298,39 @@ def test_teacher_ray_tile_block_alignment():
             assert r_t % 8 == 0, (S, il, r_t)
             assert (r_t * S) % 128 == 0, (S, il, r_t)
             assert r_t % il == 0, (S, il, r_t)
+
+
+@pytest.mark.parametrize("eval_chunks", [1, 2])
+def test_nerf_frame_fused_matches_render_rays(eval_chunks, rng):
+    """Whole-ray fused teacher renderer (interpret, f32) vs the XLA
+    render_rays eval path: every RenderResult field, including matching
+    NaN masks on disp (0/0 for empty rays under random init)."""
+    from efficient_nerf_tpu.models import NeRFMLP
+    from efficient_nerf_tpu.ops.pallas.nerf_frame import nerf_render_rays_fused
+    from efficient_nerf_tpu.render.renderer import RenderConfig, render_rays
+
+    L, Lv, N, Sc, Sf = 4, 2, 13, 16, 32
+    model = NeRFMLP(depth=4, width=32, skips=(1,), input_ch=3 * (2 * L + 1),
+                    input_ch_views=3 * (2 * Lv + 1), dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 3 * (2 * L + 1) + 3 * (2 * Lv + 1))))["params"]
+    o = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    d = jnp.asarray((rng.normal(size=(N, 3)) * 0.3
+                     + np.array([0, 0, -1.0])).astype(np.float32))
+    vd = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    cfg = RenderConfig(n_samples=Sc, n_importance=Sf, perturb=False,
+                       white_bkgd=True, multires=L, multires_views=Lv,
+                       near=2.0, far=6.0, fast_embed=False,
+                       fused_teacher=False)
+    want = render_rays(model, params, None, o, d, vd, None, cfg)
+    got = nerf_render_rays_fused(params, None, o, d, vd, 2.0, 6.0, Sc, Sf,
+                                 L, Lv, skip=1, white_bkgd=True,
+                                 dtype=jnp.float32, tile_r=8,
+                                 eval_chunks=eval_chunks, interpret=True)
+    for name, a, b in zip(want._fields, want, got):
+        a, b = np.asarray(a), np.asarray(b)
+        nan = np.isnan(a)
+        assert np.array_equal(nan, np.isnan(b)), name
+        np.testing.assert_allclose(np.where(nan, 0, b), np.where(nan, 0, a),
+                                   atol=2e-5, err_msg=name)
