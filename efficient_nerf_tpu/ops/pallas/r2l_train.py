@@ -46,6 +46,13 @@ class _Profile(NamedTuple):
     dtype: Any
     interpret: bool
     embed_L: int = 0   # >0: input is [B, K] sample coords, embed in-kernel
+    # False: skip the input-cotangent computation entirely (the [T, in_dim]
+    # head backward matmul, the d(embed)/d(coords) chain, and the padded
+    # [B, x_cols] HBM store). The training step's inputs are DATA (sampled
+    # ray coords, stop-gradient by construction), so dx is dead there; the
+    # returned x-cotangent is zeros. Leave True anywhere x genuinely
+    # requires gradients.
+    need_dx: bool = True
 
 
 def _doubling_sincos_lists(p, L):
@@ -99,9 +106,11 @@ def _fwd_kernel(x_ref, head_w_ref, head_b_ref, body_w_ref, body_b_ref,
 
 def _bwd_kernel(dout_ref, x_ref, hs_ref, head_w_ref, body_w_ref, body_b_ref,
                 tail_w_ref, tail_b_ref,
-                dhw_ref, dhb_ref, dw_ref, db_ref, dtw_ref, dtb_ref, dx_ref,
+                dhw_ref, dhb_ref, dw_ref, db_ref, dtw_ref, dtb_ref,
+                dx_ref=None,   # absent when need_dx=False (one fewer output)
                 *, n_block: int, res_scale: float,
-                use_global_residual: bool, embed_L: int = 0):
+                use_global_residual: bool, embed_L: int = 0,
+                need_dx: bool = True):
     f32 = jnp.float32
     wdt = head_w_ref.dtype
     gi = pl.program_id(0)
@@ -165,21 +174,23 @@ def _bwd_kernel(dout_ref, x_ref, hs_ref, head_w_ref, body_w_ref, body_b_ref,
         emb = jnp.concatenate(sins + coss + [p], axis=-1)
         dhw_ref[:] += grad_w(emb.astype(wdt), dpre_b)
         dhb_ref[:] += jnp.sum(dpre, axis=0)
-        # chain through the embedding: d sin(2^j p) = 2^j cos(2^j p) dp,
-        # d cos(2^j p) = -2^j sin(2^j p) dp, blocks are K columns wide
-        demb = grad_h(dpre_b, head_w_ref[:])          # [T, K*(2L+1)] f32
-        K = p.shape[-1]
-        dp = demb[:, 2 * embed_L * K:]                # identity block
-        for j in range(embed_L):
-            f = float(2.0 ** j)
-            dp = dp + demb[:, j * K:(j + 1) * K] * (f * coss[j])
-            dp = dp - demb[:, (embed_L + j) * K:
-                           (embed_L + j + 1) * K] * (f * sins[j])
-        dx_ref[:] = dp
+        if need_dx:
+            # chain through the embedding: d sin(2^j p) = 2^j cos(2^j p) dp,
+            # d cos(2^j p) = -2^j sin(2^j p) dp, blocks are K columns wide
+            demb = grad_h(dpre_b, head_w_ref[:])      # [T, K*(2L+1)] f32
+            K = p.shape[-1]
+            dp = demb[:, 2 * embed_L * K:]            # identity block
+            for j in range(embed_L):
+                f = float(2.0 ** j)
+                dp = dp + demb[:, j * K:(j + 1) * K] * (f * coss[j])
+                dp = dp - demb[:, (embed_L + j) * K:
+                               (embed_L + j + 1) * K] * (f * sins[j])
+            dx_ref[:] = dp
     else:
         dhw_ref[:] += grad_w(x_ref[:].astype(wdt), dpre_b)
         dhb_ref[:] += jnp.sum(dpre, axis=0)
-        dx_ref[:] = grad_h(dpre_b, head_w_ref[:])
+        if need_dx:
+            dx_ref[:] = grad_h(dpre_b, head_w_ref[:])
 
 
 def _pad_rays(x, tile_b):
@@ -272,9 +283,29 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
     kernel = functools.partial(
         _bwd_kernel, n_block=n_block, res_scale=prof.res_scale,
         use_global_residual=prof.use_global_residual,
-        embed_L=prof.embed_L)
+        embed_L=prof.embed_L, need_dx=prof.need_dx)
     f32 = jnp.float32
-    dhw, dhb, dw, db, dtw, dtb, dx = pl.pallas_call(
+    out_specs = [
+        _const_spec((in_dim, width)),
+        _const_spec((width,)),
+        _const_spec((n_block, 2, width, width)),
+        _const_spec((n_block, 2, width)),
+        _const_spec((width, LANES)),
+        _const_spec((LANES,)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((in_dim, width), f32),
+        jax.ShapeDtypeStruct((width,), f32),
+        jax.ShapeDtypeStruct((n_block, 2, width, width), f32),
+        jax.ShapeDtypeStruct((n_block, 2, width), f32),
+        jax.ShapeDtypeStruct((width, LANES), f32),
+        jax.ShapeDtypeStruct((LANES,), f32),
+    ]
+    if prof.need_dx:
+        out_specs.append(_row_spec(prof.tile_b, x_cols))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, x_cols), f32))
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -288,29 +319,15 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
             _const_spec((width, LANES)),
             _const_spec((LANES,)),
         ],
-        out_specs=[
-            _const_spec((in_dim, width)),
-            _const_spec((width,)),
-            _const_spec((n_block, 2, width, width)),
-            _const_spec((n_block, 2, width)),
-            _const_spec((width, LANES)),
-            _const_spec((LANES,)),
-            _row_spec(prof.tile_b, x_cols),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((in_dim, width), f32),
-            jax.ShapeDtypeStruct((width,), f32),
-            jax.ShapeDtypeStruct((n_block, 2, width, width), f32),
-            jax.ShapeDtypeStruct((n_block, 2, width), f32),
-            jax.ShapeDtypeStruct((width, LANES), f32),
-            jax.ShapeDtypeStruct((LANES,), f32),
-            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, x_cols), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_compiler_params(prof.interpret),
         interpret=prof.interpret,
     )(doutp, xp, hs, packed["head_w"], packed["body_w"], packed["body_b"],
       packed["tail_w"], packed["tail_b"])
-    return dhw, dhb, dw, db, dtw, dtb, dx[:B]
+    dhw, dhb, dw, db, dtw, dtb = outs[:6]
+    dx = outs[6][:B] if prof.need_dx else jnp.zeros((B, x_cols), f32)
+    return dhw, dhb, dw, db, dtw, dtb, dx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -365,7 +382,7 @@ _apply.defvjp(_apply_fwd, _apply_bwd)
 def r2l_train_apply(params, x, *, res_scale: float = 1.0,
                     use_global_residual: bool = False, tile_b: int = 512,
                     dtype=jnp.bfloat16, embed_L: int = 0,
-                    interpret: bool = False):
+                    need_dx: bool = True, interpret: bool = False):
     """Differentiable fused R2L forward: x [B, in_dim] -> rgb [B, out_dim].
 
     Drop-in for `model.apply({'params': params}, x)` on the uniform
@@ -380,5 +397,5 @@ def r2l_train_apply(params, x, *, res_scale: float = 1.0,
     chains d(embed)/d(coords) analytically.
     """
     prof = _Profile(float(res_scale), bool(use_global_residual), int(tile_b),
-                    dtype, bool(interpret), int(embed_L))
+                    dtype, bool(interpret), int(embed_L), bool(need_dx))
     return _apply(prof, params, x)

@@ -106,12 +106,16 @@ def make_r2l_train_step(
                 from ..ops import r2l_train_apply
 
                 # fast_embed: the kernel embeds the raw sample coords
-                # itself (no XLA embed, no [B, K*(2L+1)] HBM round trip)
+                # itself (no XLA embed, no [B, K*(2L+1)] HBM round trip).
+                # need_dx=False: pts are sampled data, never differentiated
+                # — skips the input-cotangent matmul/chain and its padded
+                # [B, in] HBM store in the backward kernel.
                 out = r2l_train_apply(
                     params, pts if fast_embed else ray_embed(pts, L),
                     res_scale=model.res_scale,
                     use_global_residual=model.use_residual,
-                    dtype=model.dtype, embed_L=L if fast_embed else 0)
+                    dtype=model.dtype, embed_L=L if fast_embed else 0,
+                    need_dx=False)
             else:
                 x = ray_embed(pts, L, fast=fast_embed)
                 out = model.apply({"params": params}, x)
