@@ -59,10 +59,37 @@ class Logger:
 
         if args is not None:
             self.save_args(args)
+            if not debug:
+                self.cache_code(getattr(args, "cache_ignore", ""))
 
     def info(self, *msg, unprefix: bool = False, acc: bool = False):
         text = " ".join(str(m) for m in msg)
         self._logger.info(text)
+
+    def cache_code(self, ignore: str = ""):
+        """Snapshot the package source into <exp>/.caches/code for
+        reproducibility (smilelogging's code-cache; reference main.py:22-33
+        relies on it via `--cache_ignore`). `ignore` is a comma-separated
+        list of substrings — any source path containing one is skipped."""
+        import shutil
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst_root = os.path.join(self.exp_path, ".caches", "code",
+                                os.path.basename(pkg_root))
+        skips = [s for s in (ignore or "").split(",") if s]
+        for dirpath, dirnames, filenames in os.walk(pkg_root):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if not fn.endswith((".py", ".cpp", ".txt")):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rel = os.path.relpath(src, pkg_root)
+                if any(s in rel for s in skips):
+                    continue
+                dst = os.path.join(dst_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+        self.code_cache_path = dst_root
 
     def save_args(self, args):
         path = os.path.join(self.log_path, "args.txt")

@@ -12,6 +12,23 @@ from efficient_nerf_tpu.utils import (AverageMeter, DeviceTimer, LossLine,
                                       plot_pose_cloud, time_fn)
 
 
+def test_logger_code_cache(tmp_path):
+    """Logger snapshots the package source (smilelogging code-cache parity,
+    reference main.py:22-33) honoring --cache_ignore substrings."""
+    import argparse
+
+    from efficient_nerf_tpu.utils.logging import Logger
+
+    args = argparse.Namespace(project="cachetest", config=None,
+                              cache_ignore="ops,data")
+    logger = Logger(args, basedir=str(tmp_path))
+    root = logger.code_cache_path
+    assert os.path.exists(os.path.join(root, "utils", "logging.py"))
+    assert os.path.exists(os.path.join(root, "models", "r2l.py"))
+    assert not os.path.exists(os.path.join(root, "ops"))
+    assert not os.path.exists(os.path.join(root, "data"))
+
+
 def test_meters():
     m = AverageMeter("t", ":.2f")
     m.update(1.0)
