@@ -20,8 +20,8 @@ profile_teacher_stages.py). Here one grid step takes a tile of rays from
     composite:        lane-form [R, S] alpha/transmittance/weights; the
                       exclusive cumprod is a log2(S)-stage Hillis-Steele
                       lane scan (pltpu.roll)
-    inverse CDF:      dense masked interpolation [R, S_f, C] (the
-                      sample_pdf.py kernel's math, det levels)
+    inverse CDF:      the sample_pdf.py kernel's rotate-based interval
+                      fori_loop (det levels, sequential CDF)
     z-merge:          flip(z_c) ++ z_fine is bitonic; one Batcher merge,
                       log2-stage roll/min/max compare-exchange on lanes
     fine field:       same field eval at the 192 merged depths
@@ -36,8 +36,16 @@ Semantics match render_rays' deterministic eval path (perturb=False,
 raw_noise_std=0, det importance levels): reference main.py:624-756 +
 helpers.py:283-330, with the same two documented divergences as the
 standalone kernels — the top det level u == 1.0 is pinned to the top bin
-edge (see ops/pallas/sample_pdf.py), and the CDF/transmittance accumulate
-in parallel-scan order (~1e-6 vs sequential). Inference only (no VJP).
+edge (see ops/pallas/sample_pdf.py), and the transmittance accumulates in
+parallel-scan order (~1e-6 vs sequential; the CDF itself is sequential).
+Inference only (no VJP).
+
+jax 0.9 Mosaic note: 3D tensors appear ONLY as broadcast+reshape (data
+movement). 3D elementwise COMPUTE (the original [R, S, E] embed and the
+dense [R, S_f, C] CDF interpolation) makes the register allocator give
+every leading index its own vreg temporaries — 215 MB of spill slots at
+tile_r=32 (measured; the whole-kernel compile bisect is in scripts/
+tune_nerf_frame.py).
 """
 from __future__ import annotations
 
@@ -134,12 +142,13 @@ def _lane_dists(z2):
 
 
 def _kernel(o_ref, d_ref, de_ref, f_ref, ph_ref, id_ref,
-            zc_ref, dc_ref, zcf_ref, u3_ref, u2_ref, blo_ref, bhi_ref,
-            btop_ref, *ws, depth: int, skip: int, s_c: int,
+            zc_ref, dc_ref, zcf_ref, zc_col_ref, u2_ref, bins_ref,
+            *ws, depth: int, skip: int, s_c: int,
             s_f: int, white_bkgd: bool, eval_chunks: int = 1,
             diag: str = ""):
-    out_ref = ws[-1]
-    wrefs = ws[:-1]
+    zf_col_ref = ws[-1]                 # VMEM scratch [R*s_all, 1]
+    out_ref = ws[-2]
+    wrefs = ws[:-2]
     wc = dict(zip(_W_KEYS, wrefs[:len(_W_KEYS)]))
     wf = dict(zip(_W_KEYS, wrefs[len(_W_KEYS):2 * len(_W_KEYS)]))
     f32 = jnp.float32
@@ -176,69 +185,93 @@ def _kernel(o_ref, d_ref, de_ref, f_ref, ph_ref, id_ref,
     hv_dc = jnp.dot(de, wc["views_d_w"][:], preferred_element_type=f32)
     hv_df = jnp.dot(de, wf["views_d_w"][:], preferred_element_type=f32)
 
-    def field(z3, S, w, hv_d, n_chunks=1):
-        # z3 [R or 1, S, 1] depths (sublane-form); embed distributes over
-        # pts = o + z*d, so y = Fo + z * Fd per (ray, sample, embed-col).
-        # n_chunks > 1 slices the samples so a bigger ray tile (fewer,
-        # cheaper grid steps) keeps the [R*S, W] activations inside VMEM.
-        sc = S // n_chunks
+    def bcast(v, S):
+        # [r, E] -> [r*S, E] (each ray's row repeated S times). Broadcast +
+        # reshape is pure data movement — the one 3D pattern Mosaic handles
+        # without per-element compute (nerf_forward's bcast_rays).
+        r = v.shape[0]
+        return jnp.broadcast_to(v[:, None, :], (r, S, v.shape[-1])
+                                ).reshape(r * S, v.shape[-1])
+
+    def field(zcol, S, w, hv_d, n_chunks=1):
+        # zcol [R*S, 1] r-major depth column (row r*S + s = ray r, sample
+        # s); embed distributes over pts = o + z*d, so y = Fo + z * Fd per
+        # (ray-sample row, embed-col). ALL compute is 2D [rows, E]: 3D
+        # tensors appear only as broadcast+reshape (jax 0.9's Mosaic
+        # register allocator gives 3D elementwise compute per-leading-index
+        # temporaries — the original [R, sc, E] formulation spilled >200 MB
+        # of vregs). n_chunks > 1 slices RAYS (contiguous r-major rows) so
+        # a bigger ray tile keeps the [rows, W] activations inside VMEM.
+        while rc % n_chunks:
+            n_chunks -= 1
+        rck = rc // n_chunks
         sig_parts, rgb_parts = [], []
         for k in range(n_chunks):
-            z3k = z3[:, k * sc:(k + 1) * sc, :]
-            y3 = Fo[:, None, :] + z3k * Fd[:, None, :]   # [R, sc, E] f32
-            e3 = jnp.where(id_ref[:] != 0, y3, fast_sin(y3 + ph_ref[:]))
-            x = e3.reshape(rc * sc, e3.shape[-1])
-            hvb = jnp.broadcast_to(hv_d[:, None, :], (rc, sc, half)
-                                   ).reshape(rc * sc, half)
-            raw = _field_eval(x, hvb, w, depth=depth, skip=skip, wdt=wdt)
-            raw3 = raw.reshape(rc, sc, LANES)
-            # lane-slice + squeeze: sigma/rgb land lane-form [R, sc]
-            sig_parts.append(raw3[:, :, 3:4].reshape(rc, sc))
-            rgb_parts.append([raw3[:, :, c:c + 1].reshape(rc, sc)
+            rows = rck * S
+            zk = zcol[k * rows:(k + 1) * rows, :]
+            rs = slice(k * rck, (k + 1) * rck)
+            y = bcast(Fo[rs], S) + zk * bcast(Fd[rs], S)  # [rows, E] f32
+            e = jnp.where(id_ref[:] != 0, y, fast_sin(y + ph_ref[:]))
+            hvb = bcast(hv_d[rs], S)
+            raw = _field_eval(e, hvb, w, depth=depth, skip=skip, wdt=wdt)
+            raw3 = raw.reshape(rck, S, LANES)
+            # lane-slice + squeeze: sigma/rgb land lane-form [rck, S]
+            sig_parts.append(raw3[:, :, 3:4].reshape(rck, S))
+            rgb_parts.append([raw3[:, :, c:c + 1].reshape(rck, S)
                               for c in range(3)])
         if n_chunks == 1:
             return sig_parts[0], rgb_parts[0]
-        sig = jnp.concatenate(sig_parts, axis=1)
-        rgb = [jnp.concatenate([p[c] for p in rgb_parts], axis=1)
+        sig = jnp.concatenate(sig_parts, axis=0)
+        rgb = [jnp.concatenate([p[c] for p in rgb_parts], axis=0)
                for c in range(3)]
         return sig, rgb
 
-    # ---- coarse pass (z constant across rays: det eval, scalar near/far)
-    zc3 = zc_ref[:].reshape(1, s_c, 1)
-    sig_c, rgb_c = field(zc3, s_c, wc, hv_dc,
+    # ---- coarse pass (z constant across rays: det eval, scalar near/far;
+    # the r-major depth column is a host-precomputed constant operand)
+    sig_c, rgb_c = field(zc_col_ref[:], s_c, wc, hv_dc,
                          max(1, eval_chunks * s_c // (s_c + s_f)))
     rgb0, disp0, acc0, _, w_c = _composite(
         sig_c, rgb_c, zc_ref[:], dc_ref[:], normd, white_bkgd, diag)
 
-    # ---- det inverse CDF on the interior weights (sample_pdf.py math)
+    # ---- det inverse CDF on the interior weights: the rotate-based
+    # fori_loop from ops/pallas/sample_pdf.py (one [R, S_f] slot set reused
+    # across intervals; the former [R, S_f, C] dense 3D formulation gave
+    # every interval its own vreg temporaries under jax 0.9 and spilled).
+    # The CDF accumulates sequentially inside the loop — same association
+    # as jnp.cumsum / the reference.
     if "nopdf" in diag:        # diagnostic: skip the inverse-CDF stage
         w_c = w_c * 0.0 + 1.0 / s_c
-    wmid = w_c[:, 1:s_c - 1] + 1e-5                      # [R, C] C = s_c-2
+    wmid = w_c[:, 1:s_c - 1] + 1e-5                      # [R, C-1] C = s_c-1
     pdf = wmid / jnp.sum(wmid, axis=1, keepdims=True)
-    # inclusive cumsum along lanes (Hillis-Steele, exact f32 adds — an MXU
-    # matmul with a triangular ones matrix would truncate the cdf to bf16)
-    cdf_hi = pdf
-    if "nocdf" not in diag:    # diagnostic: skip the cdf lane scan
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, pdf.shape, 1)
-        step = 1
-        while step < pdf.shape[1]:
-            cdf_hi = cdf_hi + jnp.where(lane_c >= step,
-                                        pltpu.roll(cdf_hi, step, 1), 0.0)
-            step *= 2
-    cdf_lo = cdf_hi - pdf
-    cl3 = cdf_lo[:, None, :]                             # [R, 1, C]
-    ch3 = cdf_hi[:, None, :]
-    u3 = u3_ref[:]                                       # [1, S_f, 1]
-    mask = (cl3 <= u3) & (u3 < ch3)                      # [R, S_f, C]
-    denom = ch3 - cl3
-    denom = jnp.where(denom < 1e-5, 1.0, denom)
-    t = (u3 - cl3) / denom
-    val = blo_ref[:] + t * (bhi_ref[:] - blo_ref[:])
-    zf = jnp.sum(jnp.where(mask, val, 0.0), axis=-1)     # [R, S_f] lanes
+    # per-row bins: a [1, 1] lane slice of the shared row would need a
+    # both-axes vector.broadcast Mosaic rejects; [R, 1] -> [R, S_f] is a
+    # plain lane broadcast (the standalone kernel's shapes)
+    bins = jnp.broadcast_to(bins_ref[:], (rc, bins_ref.shape[1]))
     u2 = u2_ref[:]                                       # [1, S_f]
-    btop = btop_ref[:]                                   # [1, 1]
-    zf = zf + (u2 >= cdf_hi[:, -1:]) * btop
-    zf = jnp.where(u2 >= 1.0, btop, zf)                  # pin u == 1.0
+    btop = bins[:, -1:]                                  # [R, 1]
+    if "nointerp" in diag:     # diagnostic: skip the interval loop
+        zf = jnp.broadcast_to(u2, (rc, s_f)) * btop
+        cdf_last = jnp.ones((rc, 1), f32)
+    else:
+        def interp_body(_, carry):
+            acc, cdf_lo, pdf_r, bins_r = carry
+            cdf_hi = cdf_lo + pdf_r[:, :1]
+            msk = (cdf_lo <= u2) & (u2 < cdf_hi)         # [R, S_f]
+            denom = cdf_hi - cdf_lo
+            denom = jnp.where(denom < 1e-5, 1.0, denom)
+            tt = (u2 - cdf_lo) / denom
+            b_lo = bins_r[:, :1]
+            val = b_lo + tt * (bins_r[:, 1:2] - b_lo)
+            return (acc + jnp.where(msk, val, 0.0), cdf_hi,
+                    pltpu.roll(pdf_r, pdf_r.shape[1] - 1, 1),
+                    pltpu.roll(bins_r, bins_r.shape[1] - 1, 1))
+
+        zf, cdf_last, _, _ = jax.lax.fori_loop(
+            0, s_c - 2, interp_body,
+            (jnp.zeros((rc, s_f), f32), jnp.zeros((rc, 1), f32), pdf, bins))
+    zf = zf + (u2 >= cdf_last) * btop
+    zf = jnp.where(jnp.broadcast_to(u2, (rc, s_f)) >= 1.0,
+                   jnp.broadcast_to(btop, (rc, s_f)), zf)  # pin u == 1.0
 
     # z_std of the importance samples (RenderResult.z_std)
     zmean = jnp.sum(zf, axis=1, keepdims=True) / s_f
@@ -270,8 +303,14 @@ def _kernel(o_ref, d_ref, de_ref, f_ref, ph_ref, id_ref,
     if "nofine" in diag:       # diagnostic: coarse-only timing/outputs
         rgb, disp, acc, dep = rgb0, disp0, acc0, acc0
     else:
-        z_all3 = z_all.reshape(rc, s_all, 1)
-        sig_f, rgb_f = field(z_all3, s_all, wf, hv_df, eval_chunks)
+        # lane-form [R, S_all] -> r-major [R*S_all, 1] depth column via
+        # VMEM scratch: ONE 2D transpose, then per-ray static lane slices
+        # stored at static sublane offsets (a direct reshape is a
+        # lane->sublane relayout Mosaic rejects: "unsupported shape cast").
+        zt = z_all.T                                     # [S_all, R]
+        for r in range(rc):
+            zf_col_ref[r * s_all:(r + 1) * s_all, :] = zt[:, r:r + 1]
+        sig_f, rgb_f = field(zf_col_ref[:], s_all, wf, hv_df, eval_chunks)
         rgb, disp, acc, dep, _ = _composite(
             sig_f, rgb_f, z_all, _lane_dists(z_all), normd, white_bkgd, diag)
 
@@ -300,10 +339,8 @@ def _np_consts(near: float, far: float, s_c: int, s_f: int, L: int,
     dists = np.concatenate([z[1:] - z[:-1], [1e10]]).astype(np.float32)
     zmid = (0.5 * (z[1:] + z[:-1])).astype(np.float32)   # bins [s_c-1]
     u = np.linspace(0.0, 1.0, s_f, dtype=np.float32)
-    return (z[None], dists[None], z[::-1][None].copy(),
-            u[None, :, None].copy(), u[None].copy(),
-            zmid[:-1][None, None].copy(), zmid[1:][None, None].copy(),
-            np.array([[zmid[-1]]], np.float32))
+    return (z[None], dists[None], z[::-1][None].copy(), u[None].copy(),
+            zmid[None].copy())
 
 
 def nerf_render_rays_fused(params_coarse, params_fine, rays_o, rays_d,
@@ -344,7 +381,7 @@ def nerf_render_rays_fused(params_coarse, params_fine, rays_o, rays_d,
         rays_d = jnp.pad(rays_d, z, constant_values=0.0).at[N:, 2].set(1.0)
         dirs_emb = jnp.pad(dirs_emb, z)
 
-    zc, dc, zcf, u3, u2, blo, bhi, btop = (
+    zc, dc, zcf, u2, bins = (
         jnp.asarray(a) for a in _np_consts(
             float(near), float(far), n_samples, n_importance, L, lindisp))
     # single nonzero per embed column -> its value, as a [1, E] row
@@ -358,7 +395,7 @@ def nerf_render_rays_fused(params_coarse, params_fine, rays_o, rays_d,
         return pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    c = n_samples - 2
+    c = n_samples - 1
     nb = pc["body_w"].shape[0]
 
     def wspecs(p):
@@ -371,17 +408,16 @@ def nerf_render_rays_fused(params_coarse, params_fine, rays_o, rays_d,
             const((half, LANES)), const((width, LANES)), const((LANES,)),
         ]
 
+    zc_col = jnp.tile(zc[0], (tile_r,))[:, None]         # [tile_r*s_c, 1]
     in_specs = ([row(3), row(3), row(in_ch_views),
-                 const((1, in_ch)), const((1, 1, in_ch)),
-                 const((1, 1, in_ch)),
+                 const((1, in_ch)), const((1, in_ch)), const((1, in_ch)),
                  const((1, n_samples)), const((1, n_samples)),
-                 const((1, n_samples)),
-                 const((1, n_importance, 1)), const((1, n_importance)),
-                 const((1, 1, c)), const((1, 1, c)), const((1, 1))]
+                 const((1, n_samples)), const((tile_r * n_samples, 1)),
+                 const((1, n_importance)), const((1, c))]
                 + wspecs(pc) + wspecs(pf))
     operands = ([rays_o, rays_d, dirs_emb, fvec,
-                 ph.reshape(1, 1, -1), idm.reshape(1, 1, -1),
-                 zc, dc, zcf, u3, u2, blo, bhi, btop]
+                 ph.reshape(1, -1), idm.reshape(1, -1),
+                 zc, dc, zcf, zc_col, u2, bins]
                 + [pc[k] for k in _W_KEYS] + [pf[k] for k in _W_KEYS])
 
     out = pl.pallas_call(
@@ -394,6 +430,8 @@ def nerf_render_rays_fused(params_coarse, params_fine, rays_o, rays_d,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_r, OUT_CH),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM(
+            (tile_r * (n_samples + n_importance), 1), jnp.float32)],
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=interpret,

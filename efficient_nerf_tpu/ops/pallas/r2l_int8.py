@@ -96,9 +96,15 @@ def _int8_block_math(h, qw, sw, bias, res_scale, dqs=None, inv_s=None):
                                    preferred_element_type=jnp.int32)
 
     if dqs is not None:
-        g = mm(_qstatic(h, inv_s[0]), 0).astype(f32) * dqs[0] + bias[0]
-        g = jnp.maximum(g, 0.0)
-        g = mm(_qstatic(g, inv_s[1]), 1).astype(f32) * dqs[1] + bias[1]
+        # Inner epilogue folded: relu commutes with the positive scale
+        # inv_s[1], so dequant -> bias -> relu -> requantize collapses to
+        # one fused multiply-add + relu + round/clip (saves a full [T, W]
+        # multiply per block on the serial VPU path).
+        t = (mm(_qstatic(h, inv_s[0]), 0).astype(f32) * (dqs[0] * inv_s[1])
+             + bias[0] * inv_s[1])
+        qg = jnp.clip(jnp.round(jnp.maximum(t, 0.0)), -127.0, 127.0
+                      ).astype(jnp.int8)
+        g = mm(qg, 1).astype(f32) * dqs[1] + bias[1]
         return g * res_scale + h
 
     qh, sh = _qdyn(h)
@@ -123,7 +129,7 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
             body_qw_ref, body_sw_ref, body_b_ref, dqs_ref, invs_ref,
             tail_w_ref, tail_b_ref, out_ref, *, n_block: int,
             res_scale: float, use_global_residual: bool, n_freq: int,
-            static_scales: bool):
+            static_scales: bool, interleave: int = 1):
     f32 = jnp.float32
     wdt = head_w_ref.dtype
 
@@ -139,12 +145,21 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
         jnp.dot(x.astype(wdt), head_w_ref[:], preferred_element_type=f32)
         + head_b_ref[:], 0.0)
     h0 = h
+    # interleave > 1: split the tile's rows into independent chains walked
+    # in one unrolled body. The int8 quantize epilogue is serial VPU work
+    # on the single-chain critical path (~40% of the block chain); with two
+    # chains the scheduler overlaps one chain's quantize with the other's
+    # MXU matmul. Row-chunk math is identical, so results are bitwise the
+    # same as interleave=1.
+    tc = h.shape[0] // interleave
+    hs = [h[c * tc:(c + 1) * tc] for c in range(interleave)]
     for i in range(n_block):
-        h = _int8_block_math(
-            h, body_qw_ref[i], body_sw_ref[i], body_b_ref[i], res_scale,
+        hs = [_int8_block_math(
+            hc, body_qw_ref[i], body_sw_ref[i], body_b_ref[i], res_scale,
             dqs=dqs_ref[i] if static_scales else None,
             inv_s=((invs_ref[i, 0], invs_ref[i, 1])
-                   if static_scales else None))
+                   if static_scales else None)) for hc in hs]
+    h = jnp.concatenate(hs, axis=0) if interleave > 1 else hs[0]
     if use_global_residual:
         h = h + h0
     t = jnp.dot(h.astype(wdt), tail_w_ref[:],
@@ -192,7 +207,7 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
                      res_scale: float = 1.0,
                      use_global_residual: bool = False,
                      act_scales=None, head_dtype=jnp.bfloat16,
-                     interpret: bool = False):
+                     interleave: int = 2, interpret: bool = False):
     """Int8-body fused inference forward. rays [B, 3] -> rgb [B, out_dim].
 
     act_scales [n_block, 2] (from calibrate_r2l_int8) switches the kernel
@@ -218,6 +233,8 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
     rays_o = rays_o.T
     rays_d = rays_d.T
 
+    if tile_b % max(int(interleave), 1):
+        interleave = 1
     static_scales = act_scales is not None
     if static_scales:
         act_scales = jnp.asarray(act_scales, jnp.float32)
@@ -234,7 +251,7 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
     kernel = functools.partial(
         _kernel, n_block=n_block, res_scale=res_scale,
         use_global_residual=use_global_residual, n_freq=L,
-        static_scales=static_scales)
+        static_scales=static_scales, interleave=int(interleave))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -45,10 +45,11 @@ VARIANTS = {
     "t64_c2_nopdf": dict(tile_r=64, eval_chunks=2, diag="nopdf"),
     "t32_c1_nofine": dict(tile_r=32, eval_chunks=1, diag="nofine"),
     # compile bisect: which stage explodes the register allocator
-    "t32_nofine_nopdf_nomerge": dict(tile_r=32, diag="nofine nopdf nomerge"),
-    "t32_noscan_nocdf": dict(tile_r=32, diag="noscan nocdf"),
+    "t32_nofine_nointerp_nomerge": dict(
+        tile_r=32, diag="nofine nointerp nomerge"),
+    "t32_noscan": dict(tile_r=32, diag="noscan"),
     "t32_nomerge": dict(tile_r=32, diag="nomerge"),
-    "t32_nopdf_nomerge": dict(tile_r=32, diag="nopdf nomerge"),
+    "t32_nointerp_nomerge": dict(tile_r=32, diag="nointerp nomerge"),
 }
 
 
