@@ -83,7 +83,11 @@ def ray_points_embed(rays_o, rays_d, near, far, n_sample, L,
     from .pallas.r2l_forward import embed_constants
 
     P1, P2, mode = embed_constants(n_sample, L, near, far)
-    y = rays_o @ P1 + rays_d @ P2
+    # HIGHEST: TPU XLA's default matmul truncates operands to bf16; the
+    # 2^j-scaled P columns amplify that into O(1) sin-phase error
+    hi = jax.lax.Precision.HIGHEST
+    y = (jnp.matmul(rays_o, P1, precision=hi)
+         + jnp.matmul(rays_d, P2, precision=hi))
     return jnp.where(mode == 0, jnp.sin(y),
                      jnp.where(mode == 1, jnp.cos(y), y))
 

@@ -87,9 +87,12 @@ from .trig import fast_sin as _fast_sin  # noqa: E402  (see trig.py)
 
 
 def _linearized_embed(x, L):
-    """Plain-jnp phased embed (same math as the kernel): x [..., 3]."""
+    """Plain-jnp phased embed (same math as the kernel): x [..., 3].
+
+    HIGHEST precision: TPU XLA's default matmul truncates operands to bf16
+    and the frequency columns amplify that phase error by 2^(L-1)."""
     F, phase, is_id = nerf_embed_constants(L)
-    y = x @ F
+    y = jnp.matmul(x, F, precision=jax.lax.Precision.HIGHEST)
     return jnp.where(is_id != 0, y, _fast_sin(y + phase))
 
 
@@ -183,14 +186,22 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
     wdt = pts0_w_ref.dtype
 
     def embed_pts(x_cm):
-        # x_cm is the channel-major [3, sub] point slice: contracting its
-        # dim 0 against F's dim 0 gives [sub, E] directly — no transpose,
-        # and the [3, P] HBM layout pads 2.7x instead of the 42.7x XLA
-        # gives a [P, 3] row tensor (measured: the padded row layout alone
-        # moved ~16 GB/frame).
+        # x_cm is the channel-major [3, sub] point slice; the [3, P] HBM
+        # layout pads 2.7x instead of the 42.7x XLA gives a [P, 3] row
+        # tensor (measured: the padded row layout alone moved ~16 GB/frame).
+        # Returns the TRANSPOSED embed e_t [E, sub]: row e = f_e * x[e % 3]
+        # built exact-f32 ELEMENTWISE (fcol is the [E, 1] single-nonzero
+        # column of F). This is a precision requirement: the former
+        # x_cm^T @ F MXU dot truncates operands to bf16 (~2^-9 relative)
+        # and the 2^l frequency columns amplify that inside sin into an
+        # O(1) phase error at the top octaves (measured 0.45 max rgb error
+        # vs the exact XLA embed). The consuming matmuls contract dim 0 of
+        # e_t directly, so no transpose is ever materialized.
         # sin args reach ~2^9 * |x|: evaluate the trig in f32 always.
-        y = jax.lax.dot_general(x_cm, fp_ref[:], (((0,), (0,)), ((), ())),
-                                preferred_element_type=f32)
+        E = fp_ref.shape[0]
+        sub = x_cm.shape[1]
+        xr = jnp.broadcast_to(x_cm[None], (E // 3, 3, sub)).reshape(E, sub)
+        y = xr * fp_ref[:]
         if "nosincos" in diag:   # diagnostic: cost of the trig VPU pass
             return y.astype(wdt)
         sin = jnp.sin if "slowsin" in diag else _fast_sin
@@ -218,16 +229,20 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
     xs = [embed_pts(pts_ref[:, k * sub:(k + 1) * sub].astype(f32))
           for k in K]
 
+    fdim = (((0,), (0,)), ((), ()))   # contract the feature-major embed
+
     def layer(x_w, h, i):
         g = jnp.dot(h.astype(wdt), body_w_ref[i - 1],
                     preferred_element_type=f32)
         if i == skip + 1:
             # post-skip layer: concat([x, h]) @ W == x @ W_x + h @ W_h
-            g = g + jnp.dot(x_w, skip_x_w_ref[:], preferred_element_type=f32)
+            g = g + jax.lax.dot_general(x_w, skip_x_w_ref[:], fdim,
+                                        preferred_element_type=f32)
         return jnp.maximum(g + body_b_ref[i - 1].astype(f32), 0.0)
 
     hs = [jnp.maximum(
-        jnp.dot(xs[k], pts0_w_ref[:], preferred_element_type=f32)
+        jax.lax.dot_general(xs[k], pts0_w_ref[:], fdim,
+                            preferred_element_type=f32)
         + pts0_b_ref[:].astype(f32), 0.0) for k in K]
     for i in range(1, depth):
         hs = [layer(xs[k], hs[k], i) for k in K]
@@ -350,11 +365,16 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
 
     depth, width, half = packed["depth"], packed["width"], packed["half"]
     php, idp = nerf_embed_constants(L)[1:]
+    # feature-major [E, 1] columns for the transposed elementwise embed:
+    # fcol[e] = the single nonzero of F column e (= F[e % 3, e])
+    fcol = jnp.sum(Fp, axis=0)[:, None]
+    phcol, idcol = php[0][:, None], idp[0][:, None]
     in_specs = [
         pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((r_t, in_ch_views), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        const_spec((3, in_ch)), const_spec((1, in_ch)), const_spec((1, in_ch)),
+        const_spec((in_ch, 1)), const_spec((in_ch, 1)),
+        const_spec((in_ch, 1)),
         const_spec((in_ch, width)), const_spec((width,)),
         const_spec((depth - 1, width, width)), const_spec((depth - 1, width)),
         const_spec((in_ch, width)),
@@ -380,7 +400,7 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=interpret,
-    )(pts_cm, dirs_emb, Fp, php, idp,
+    )(pts_cm, dirs_emb, fcol, phcol, idcol,
       packed["pts0_w"], packed["pts0_b"], packed["body_w"], packed["body_b"],
       packed["skip_x_w"], packed["feat_w"], packed["feat_b"],
       packed["views_h_w"], packed["views_d_w"], packed["views_b"],

@@ -15,7 +15,8 @@ MXU-bound instead of HBM-bound.
 The embedding is expressed as two tiny matmuls plus a trig select:
   p[b, s*3+c] = o[b,c] + d[b,c] * z_s          (linear in o and d)
   y[b, m*21+j] = p[b, m] * f_j                 (linear in p)
-so y = o @ P1 + d @ P2 with precomputed P1/P2 [3, K*(2L+1)], and
+so y distributes over o and z*d per feature row (built exact-f32
+elementwise in transposed [in_dim, tile] form — see _points_t), and
   x = sin(y) where j<L, cos(y) where L<=j<2L, y where j==2L
 which reproduces core.encoding.ray_embed's layout exactly (golden-tested).
 
@@ -134,7 +135,31 @@ def pack_r2l_weights(params, dtype=jnp.bfloat16):
             "out_dim": out_dim}
 
 
-def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
+def _points_t(o, d, zc_col):
+    """Channel-transposed sample points, exact f32 elementwise.
+
+    o/d are channel-major [3, sub]; zc_col is the [K, 1] per-row depth
+    column (K = n_sample*3, row k = z_{k//3}). Returns p_t [K, sub] with
+    p_t[s*3+c, t] = o[c, t] + z_s * d[c, t].
+
+    This is a PRECISION requirement, not a layout preference: the MXU
+    truncates f32 dot OPERANDS to bf16 (~2^-9 relative), and sin args here
+    reach 2^(L-1) * |p| — the frequency octaves amplify a 2^-9 base error
+    into an O(1) phase error at the top frequencies (measured 0.45 max rgb
+    error on the teacher's equivalent o @ F embed dot). Elementwise
+    broadcast+reshape sidesteps the MXU entirely; the head matmul then
+    contracts dim 0 of the transposed embed directly (no transposes).
+    """
+    K = zc_col.shape[0]
+
+    def rep3(v):
+        return jnp.broadcast_to(v[None], (K // 3, 3, v.shape[1])
+                                ).reshape(K, v.shape[1])
+
+    return rep3(o) + zc_col * rep3(d)
+
+
+def _kernel(o_ref, d_ref, zc_ref, fcol_ref, sinm_ref, cosm_ref,
             head_w_ref, head_b_ref, body_w_ref, body_b_ref,
             tail_w_ref, tail_b_ref, out_ref, *, n_block: int,
             res_scale: float, use_global_residual: bool,
@@ -157,13 +182,10 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
         # The output block layout [sins | coss | p] is absorbed by a head-
         # weight row permutation at pack time (_doubling_head_perm_np).
         def embed(o, d):
+            # returns the TRANSPOSED embed x_t [in_dim, sub]
             from .trig import fast_sincos
 
-            cm = (((0,), (0,)), ((), ()))   # o/d are channel-major [3, sub]
-            p = (jax.lax.dot_general(o, p1_ref[:], cm,
-                                     preferred_element_type=f32)
-                 + jax.lax.dot_general(d, p2_ref[:], cm,
-                                       preferred_element_type=f32))
+            p = _points_t(o, d, zc_ref[:])        # [K, sub] exact f32
             # shared-range-reduction polynomial base pair (~2e-7 err; the
             # L doublings amplify it to ~2e-4, same order as the
             # recurrence's own f32 error) — jnp.sin/cos lower to long
@@ -174,22 +196,27 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
                 s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
                 sins.append(s)
                 coss.append(c)
-            return jnp.concatenate(sins + coss + [p], axis=-1)
+            return jnp.concatenate(sins + coss + [p], axis=0)
     else:
         def embed(o, d):
-            cm = (((0,), (0,)), ((), ()))   # o/d are channel-major [3, sub]
-            y = (jax.lax.dot_general(o, p1_ref[:], cm,
-                                     preferred_element_type=f32)
-                 + jax.lax.dot_general(d, p2_ref[:], cm,
-                                       preferred_element_type=f32))
+            # transposed exact embed: y_t row m*E+j = f_j * p_m (fcol is
+            # the [in_dim, 1] frequency column, masks are columns too)
+            p = _points_t(o, d, zc_ref[:])        # [K, sub]
+            K, sub = p.shape
+            E = fcol_ref.shape[0] // K
+            y = jnp.broadcast_to(p[:, None, :], (K, E, sub)
+                                 ).reshape(K * E, sub) * fcol_ref[:]
             if "nosincos" in diag:   # diagnostic: skip the trig VPU passes
                 return y
             return jnp.where(sinm_ref[:] != 0, jnp.sin(y),
                              jnp.where(cosm_ref[:] != 0, jnp.cos(y), y))
 
-    def head(x):
-        h = jnp.dot(x.astype(wdt), head_w_ref[:],
-                    preferred_element_type=f32) + head_b_ref[:]
+    def head(x_t):
+        # x_t is feature-major [in_dim, sub]: contract dim 0 against the
+        # head weights directly — the MXU produces [sub, W], no transpose
+        h = jax.lax.dot_general(
+            x_t.astype(wdt), head_w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32) + head_b_ref[:]
         h = jnp.maximum(h, 0.0)
         return h.astype(wdt) if bf16_epilogue else h
 
@@ -271,7 +298,7 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
     out_ref[:] = tail(h)
 
 
-def _kernel_resident(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
+def _kernel_resident(o_ref, d_ref, zc_ref, fcol_ref, sinm_ref, cosm_ref,
                      head_w_hbm, head_b_ref, body_w_hbm, body_b_ref,
                      tail_w_ref, tail_b_ref, out_ref,
                      head_w_vmem, body_w_vmem, x_vmem, sems, *, n_block: int,
@@ -280,8 +307,9 @@ def _kernel_resident(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
     """Variant keeping the big bf16 weights in VMEM scratch across the whole
     grid: they are DMA'd from HBM exactly once (grid step 0) instead of being
     re-fetched per tile by the block pipeline (~11.8 MB x n_tiles saved).
-    The embedding is computed in feature-column chunks into a bf16 scratch to
-    bound the f32 sin/cos temporaries."""
+    The embedding is computed feature-major ([in_dim, tile], exact
+    elementwise — see _points_t) in row chunks into a bf16 scratch to bound
+    the f32 sin/cos temporaries."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -295,21 +323,29 @@ def _kernel_resident(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
     wdt = head_w_vmem.dtype
     o = o_ref[:].astype(f32)
     d = d_ref[:].astype(f32)
-    in_dim = p1_ref.shape[1]
-    cw = in_dim // embed_chunks
-    cmn = (((0,), (0,)), ((), ()))   # o/d are channel-major [3, tile]
-    for c0 in range(0, in_dim, cw):
-        y = (jax.lax.dot_general(o, p1_ref[:, c0:c0 + cw], cmn,
-                                 preferred_element_type=f32)
-             + jax.lax.dot_general(d, p2_ref[:, c0:c0 + cw], cmn,
-                                   preferred_element_type=f32))
-        xc = jnp.where(sinm_ref[:, c0:c0 + cw] != 0, jnp.sin(y),
-                       jnp.where(cosm_ref[:, c0:c0 + cw] != 0, jnp.cos(y), y))
-        x_vmem[:, c0:c0 + cw] = xc.astype(wdt)
+    in_dim = fcol_ref.shape[0]
+    K = zc_ref.shape[0]
+    E = in_dim // K
+    p = _points_t(o, d, zc_ref[:])                      # [K, tile] f32
+    # chunk over p rows so each y chunk's rows stay E-aligned blocks
+    kw = max(1, K // embed_chunks)
+    for k0 in range(0, K, kw):
+        kn = min(kw, K - k0)
+        r0 = k0 * E
+        y = jnp.broadcast_to(p[k0:k0 + kn, None, :],
+                             (kn, E, p.shape[1])
+                             ).reshape(kn * E, p.shape[1]) * \
+            fcol_ref[r0:r0 + kn * E]
+        xc = jnp.where(sinm_ref[r0:r0 + kn * E] != 0, jnp.sin(y),
+                       jnp.where(cosm_ref[r0:r0 + kn * E] != 0,
+                                 jnp.cos(y), y))
+        x_vmem[r0:r0 + kn * E, :] = xc.astype(wdt)
 
-    def head(xh):
+    def head(x_t):
         return jnp.maximum(
-            jnp.dot(xh, head_w_vmem[:], preferred_element_type=f32)
+            jax.lax.dot_general(x_t, head_w_vmem[:],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
             + head_b_ref[:], 0.0)
 
     def block(i, h):
@@ -329,9 +365,9 @@ def _kernel_resident(o_ref, d_ref, p1_ref, p2_ref, sinm_ref, cosm_ref,
         # Two independent half-tile chains, interleaved so Mosaic can
         # overlap one chain's VPU epilogue (bias/relu/residual/cast) with
         # the other's MXU matmul.
-        half = x_vmem.shape[0] // 2
-        hA = head(x_vmem[:half])
-        hB = head(x_vmem[half:])
+        half = x_vmem.shape[1] // 2
+        hA = head(x_vmem[:, :half])
+        hB = head(x_vmem[:, half:])
         h0A, h0B = hA, hB
         for bi in range(n_block):
             hA = block(bi, hA)
@@ -373,26 +409,36 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
         raise NotImplementedError("fused path covers the sigmoid-tail profile")
     if diag:
         fast_embed = False  # diagnostics time the naive embed path
+    if resident_weights:
+        fast_embed = False  # the resident variant embeds via the exact path
     packed = pack_r2l_weights(params, dtype)
     n_block = packed["body_w"].shape[0]
     width = packed["body_w"].shape[-1]
     in_dim = packed["head_w"].shape[0]
 
+    # the [K, 1] per-row depth column for the exact-f32 elementwise
+    # transposed point build (see _points_t)
+    K = n_sample * 3
+    E = 2 * L + 1
+    zc_col = jnp.asarray(np.repeat(
+        np.linspace(near, far, n_sample), 3)[:, None].astype(np.float32))
     if fast_embed:
-        # doubling embed: base-angle constants + head rows permuted into
-        # the [sins | coss | p] block layout (see _kernel's embed)
-        A, Bz = _point_constants_np(n_sample, float(near), float(far))
-        P1, P2 = jnp.asarray(A), jnp.asarray(Bz)
+        # doubling embed: head rows permuted into the [sins | coss | p]
+        # block layout (see _kernel's embed)
         perm = _doubling_head_perm_np(n_sample, L)
         packed["head_w"] = packed["head_w"][jnp.asarray(perm)]
-        p_cols = A.shape[1]
-        sin_mask = jnp.zeros((1, p_cols), jnp.int32)
-        cos_mask = jnp.zeros((1, p_cols), jnp.int32)
+        fcol = jnp.ones((1, 1), jnp.float32)
+        sin_mask = jnp.zeros((1, 1), jnp.int32)
+        cos_mask = jnp.zeros((1, 1), jnp.int32)
     else:
-        P1, P2, mode = embed_constants(n_sample, L, near, far)
-        sin_mask = (mode == 0).astype(jnp.int32)[None, :]
-        cos_mask = (mode == 1).astype(jnp.int32)[None, :]
-        p_cols = in_dim
+        # exact path: y_t row m*E+j = f_j * p_m; frequency + mode columns
+        freqs = np.concatenate(
+            [2.0 ** np.arange(L), 2.0 ** np.arange(L), [1.0]])
+        fcol = jnp.asarray(np.tile(freqs, K)[:, None].astype(np.float32))
+        mode = np.tile(np.concatenate(
+            [np.zeros(L), np.ones(L), [2]]).astype(np.int32), K)
+        sin_mask = jnp.asarray((mode == 0).astype(np.int32)[:, None])
+        cos_mask = jnp.asarray((mode == 1).astype(np.int32)[:, None])
 
     B = rays_o.shape[0]
     n_tiles = -(-B // tile_b)
@@ -412,15 +458,15 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
     small_specs = [
         pl.BlockSpec((3, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
-        const_spec((3, p_cols)),
-        const_spec((3, p_cols)),
-        const_spec((1, p_cols)),
-        const_spec((1, p_cols)),
+        const_spec((K, 1)),
+        const_spec(tuple(fcol.shape)),
+        const_spec(tuple(sin_mask.shape)),
+        const_spec(tuple(cos_mask.shape)),
     ]
     out_spec = pl.BlockSpec((tile_b, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n_tiles * tile_b, LANES), jnp.float32)
-    operands = (rays_o, rays_d, P1, P2, sin_mask, cos_mask,
+    operands = (rays_o, rays_d, zc_col, fcol, sin_mask, cos_mask,
                 packed["head_w"], packed["head_b"], packed["body_w"],
                 packed["body_b"], packed["tail_w"], packed["tail_b"])
 
@@ -445,7 +491,7 @@ def r2l_forward_fused(params, rays_o, rays_d, near: float, far: float,
             scratch_shapes=[
                 pltpu.VMEM((in_dim, width), dtype),
                 pltpu.VMEM((n_block, 2, width, width), dtype),
-                pltpu.VMEM((tile_b, in_dim), dtype),
+                pltpu.VMEM((in_dim, tile_b), dtype),   # feature-major embed
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,

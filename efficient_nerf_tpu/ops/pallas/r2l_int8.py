@@ -125,7 +125,20 @@ def _doubling_embed(p, n_freq):
     return jnp.concatenate(sins + coss + [p], axis=-1)
 
 
-def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
+def _doubling_embed_t(p_t, n_freq):
+    """Transposed (feature-major) doubling embed: p_t [K, tile] ->
+    [K*(2L+1), tile], block layout [sins | coss | p] along dim 0 (same
+    feature order as _doubling_embed, so the head-row perm is shared)."""
+    s, c = fast_sincos(p_t, degree=9)
+    sins, coss = [s], [c]
+    for _ in range(1, n_freq):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    return jnp.concatenate(sins + coss + [p_t], axis=0)
+
+
+def _kernel(o_ref, d_ref, zc_ref, head_w_ref, head_b_ref,
             body_qw_ref, body_sw_ref, body_b_ref, dqs_ref, invs_ref,
             tail_w_ref, tail_b_ref, out_ref, *, n_block: int,
             res_scale: float, use_global_residual: bool, n_freq: int,
@@ -133,16 +146,21 @@ def _kernel(o_ref, d_ref, p1_ref, p2_ref, head_w_ref, head_b_ref,
     f32 = jnp.float32
     wdt = head_w_ref.dtype
 
-    # double-angle recurrence embedding (see r2l_forward._kernel fast_embed)
+    # transposed double-angle embedding (see r2l_forward._kernel): the
+    # base points are built exact-f32 elementwise (_points_t — an MXU
+    # embed dot would put an O(1) phase error on the top octaves), and
+    # the head contracts dim 0 of the feature-major embed directly
+    from .r2l_forward import _points_t
+
     o = o_ref[:].astype(f32)              # channel-major [3, tile]
     d = d_ref[:].astype(f32)
-    cm = (((0,), (0,)), ((), ()))
-    p = (jax.lax.dot_general(o, p1_ref[:], cm, preferred_element_type=f32)
-         + jax.lax.dot_general(d, p2_ref[:], cm, preferred_element_type=f32))
-    x = _doubling_embed(p, n_freq)
+    p = _points_t(o, d, zc_ref[:])        # [K, tile]
+    x_t = _doubling_embed_t(p, n_freq)    # [in_dim, tile]
 
     h = jnp.maximum(
-        jnp.dot(x.astype(wdt), head_w_ref[:], preferred_element_type=f32)
+        jax.lax.dot_general(x_t.astype(wdt), head_w_ref[:],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=f32)
         + head_b_ref[:], 0.0)
     h0 = h
     # interleave > 1: split the tile's rows into independent chains walked
@@ -186,7 +204,14 @@ def calibrate_r2l_int8(params, rays_o, rays_d, near: float, far: float,
     b = jnp.stack([jnp.asarray(params["body"]["lin_0"]["bias"], f32),
                    jnp.asarray(params["body"]["lin_1"]["bias"], f32)], 1)
 
-    p = rays_o @ jnp.asarray(A) + rays_d @ jnp.asarray(Bz)
+    # exact elementwise points — the same multiply-add per element as the
+    # kernel's _points_t, so p is BITWISE identical to the kernel's (an XLA
+    # matmul, even at HIGHEST precision, differs by ulps, and the dynamic
+    # per-row quantization scales turn a 1-ulp row-max flip into a whole
+    # int8 level)
+    z = jnp.asarray(np.linspace(near, far, n_sample), jnp.float32)
+    p = (rays_o[:, None, :]
+         + z[None, :, None] * rays_d[:, None, :]).reshape(rays_o.shape[0], -1)
     x = _doubling_embed(p, L)
     h = jnp.maximum(x @ head_w + head_b, 0.0)
 
@@ -218,10 +243,10 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
     width = packed["body_qw"].shape[-1]
     in_dim = packed["head_w"].shape[0]
 
-    A, Bz = _point_constants_np(n_sample, float(near), float(far))
     perm = _doubling_head_perm_np(n_sample, L)
     head_w = packed["head_w"][jnp.asarray(perm)]
-    p_cols = A.shape[1]
+    zc_col = jnp.asarray(np.repeat(
+        np.linspace(near, far, n_sample), 3)[:, None].astype(np.float32))
 
     B = rays_o.shape[0]
     n_tiles = -(-B // tile_b)
@@ -260,8 +285,7 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tile_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            const_spec((3, p_cols)),
-            const_spec((3, p_cols)),
+            const_spec((n_sample * 3, 1)),
             const_spec((in_dim, width)),
             const_spec((width,)),
             const_spec((n_block, 2, width, width)),
@@ -279,7 +303,7 @@ def r2l_forward_int8(params, rays_o, rays_d, near: float, far: float,
         compiler_params=(None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=interpret,
-    )(rays_o, rays_d, jnp.asarray(A), jnp.asarray(Bz), head_w,
+    )(rays_o, rays_d, zc_col, head_w,
       packed["head_b"], packed["body_qw"], packed["body_sw"],
       packed["body_b"], dqs, invs, packed["tail_w"], packed["tail_b"])
     return out[:B, :packed["out_dim"]]
@@ -298,7 +322,14 @@ def r2l_forward_int8_ref(params, rays_o, rays_d, near: float, far: float,
     perm = _doubling_head_perm_np(n_sample, L)
     head_w = packed["head_w"][jnp.asarray(perm)]
 
-    p = rays_o @ jnp.asarray(A) + rays_d @ jnp.asarray(Bz)
+    # exact elementwise points — the same multiply-add per element as the
+    # kernel's _points_t, so p is BITWISE identical to the kernel's (an XLA
+    # matmul, even at HIGHEST precision, differs by ulps, and the dynamic
+    # per-row quantization scales turn a 1-ulp row-max flip into a whole
+    # int8 level)
+    z = jnp.asarray(np.linspace(near, far, n_sample), jnp.float32)
+    p = (rays_o[:, None, :]
+         + z[None, :, None] * rays_d[:, None, :]).reshape(rays_o.shape[0], -1)
     x = _doubling_embed(p, L)
 
     h = jnp.maximum(

@@ -203,9 +203,13 @@ def test_train_step_fused_flag_gates(rng):
 
 def test_int8_kernel_matches_jnp_twin(rng):
     """Int8 megakernel (interpret) vs the pure-jnp quantization twin: same
-    math when the batch is one tile. Not bit-exact: a 1-ulp difference in
-    the f32 row-max reduce can flip a round() tie, moving one int8 level
-    (~1e-3 after dequant); tolerance covers a few such flips."""
+    math when the batch is one tile. Not bit-exact: the head matmul's
+    1008-long contraction associates differently (feature-major dot_general
+    vs row-major @), and a 1-ulp difference in the f32 row-max reduce flips
+    the DYNAMIC per-row scale — one int8 level across that row (~1e-2 after
+    dequant through 9 blocks); tolerance covers a few such flips. The
+    static-scale path (no data-dependent scales) is held to bitwise
+    interleave parity in test_int8_static_scales_interleave_parity."""
     from efficient_nerf_tpu.ops.pallas.r2l_int8 import (r2l_forward_int8,
                                                         r2l_forward_int8_ref)
 
@@ -218,7 +222,36 @@ def test_int8_kernel_matches_jnp_twin(rng):
     got = r2l_forward_int8(params, o, d, 2.0, 6.0, n_sample, L, tile_b=32,
                            head_dtype=jnp.float32, interpret=True)
     want = r2l_forward_int8_ref(params, o, d, 2.0, 6.0, n_sample, L)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1.5e-2)
+
+
+def test_int8_static_scales_interleave_parity(rng):
+    """Static-calibrated int8 kernel: interleave=2 is bitwise identical to
+    interleave=1 (independent row chains, same math), and both match the
+    jnp twin with the same act_scales."""
+    from efficient_nerf_tpu.ops.pallas.r2l_int8 import (
+        calibrate_r2l_int8, r2l_forward_int8, r2l_forward_int8_ref)
+
+    in_dim, n_sample, L = 16 * 3 * 21, 16, 10
+    model = R2LNet(input_dim=in_dim, depth=10, width=32, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, in_dim)))["params"]
+    o = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    scales = calibrate_r2l_int8(params, o, d, 2.0, 6.0, n_sample, L)
+    kw = dict(tile_b=32, head_dtype=jnp.float32, act_scales=scales,
+              interpret=True)
+    got2 = r2l_forward_int8(params, o, d, 2.0, 6.0, n_sample, L,
+                            interleave=2, **kw)
+    got1 = r2l_forward_int8(params, o, d, 2.0, 6.0, n_sample, L,
+                            interleave=1, **kw)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got1))
+    # vs twin: the kernel's channel-major embed associates the o/d matmuls
+    # differently (ulp), which can flip round() ties -> one int8 level
+    # (~6e-3 after dequant); tolerance covers a few such flips.
+    want = r2l_forward_int8_ref(params, o, d, 2.0, 6.0, n_sample, L,
+                                act_scales=scales)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-2)
 
 
 def test_int8_quantization_error_bounded(rng):
