@@ -437,7 +437,11 @@ def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
 
 
 def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
-    """Returns (next_batch() -> (o, d, target), reload(step) -> None)."""
+    """Returns (next_batch(step) -> (o, d, target), reload(step) -> bool).
+
+    reload(step) returns True when it rebuilt the dataset (the caller must
+    then re-fetch the in-flight batch); next_batch takes the 1-based train
+    step so images mode can apply the precrop warmup."""
     H, W, focal = scene.hwf
     log = logger.info
 
@@ -471,7 +475,7 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
             learn_depth=args.learn_depth,
             trans_origin=args.trans_origin, rng=rng)
         log("Streaming pseudo data from on-device teacher")
-        return (lambda: next(gen)), (lambda step: None)
+        return (lambda step=None: next(gen)), (lambda step: False)
 
     datadir_kd = args.datadir_kd.split(":")[-1]
     if args.data_mode == "rays":
@@ -495,8 +499,10 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
         def reload(step):
             if step % args.i_update_data == 0:
                 build()
+                return True
+            return False
 
-        return (lambda: next(holder["loader"])), reload
+        return (lambda step=None: next(holder["loader"])), reload
 
     if args.data_mode == "patches":
         # CNN-style: [items, ph, pw, D] shards from the 16x16patches /
@@ -521,8 +527,10 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
         def reload(step):
             if step % args.i_update_data == 0:
                 build()
+                return True
+            return False
 
-        return (lambda: next(holder["loader"])), reload
+        return (lambda step=None: next(holder["loader"])), reload
 
     # images mode: sample pixels from random (real or pseudo) frames
     holder = {}
@@ -534,18 +542,25 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
 
     build(args.pseudo_ratio if args.pseudo_ratio >= 0 else 0.5)
 
-    def next_batch():
+    def next_batch(step=None):
+        # N_rand pixels per iteration, center-cropped during the precrop
+        # warmup — reference images-mode semantics (main.py:1264-1302:
+        # get_selected_coords(coords, N_rand) after the precrop_iters/
+        # precrop_frac coordinate restriction).
         img, pose, _ = holder["ds"][next(holder["it"])]
         ro, rd = get_rays_np(img.shape[0], img.shape[1], focal, pose[:3, :4])
-        sel = _select_coords(rng, img.shape[0], img.shape[1],
-                             args.N_rand * 4096 // max(1, args.N_rand),
-                             args.select_pixel_mode)
+        precrop = (args.precrop_frac
+                   if step is not None and step < args.precrop_iters else None)
+        sel = _select_coords(rng, img.shape[0], img.shape[1], args.N_rand,
+                             args.select_pixel_mode, precrop)
         return (ro[sel[:, 0], sel[:, 1]], rd[sel[:, 0], sel[:, 1]],
                 img[sel[:, 0], sel[:, 1]][..., :3])
 
     def reload(step):
         if args.pseudo_ratio_schedule and step % args.i_update_data == 0:
             build(pseudo_ratio_schedule(args.pseudo_ratio_schedule, step))
+            return True
+        return False
 
     return next_batch, reload
 
@@ -560,7 +575,7 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
     patch_mode = args.data_mode == "patches" and not args.stream_pseudo_data
     hard = None
     pool = hard_pool_init(1)
-    probe = next_batch()
+    probe = next_batch(start + 1)
     if patch_mode:
         # Conv student over patch shards. Hard mining is ray-granular and
         # does not apply; the `pool` slot carries the flax batch_stats
@@ -615,14 +630,18 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
             log(f"Preemption signal: saved {path} at iter {i - 1}")
             break
         t0 = time.time()
-        reload(i)
+        if reload(i):
+            # dataset rebuilt: drop the batch prefetched from the old
+            # loader and draw step i's batch from the fresh one — the
+            # reference reloads BEFORE fetching (main.py:1255-1261)
+            batch = next_batch(i)
         o, d, t = batch
         data_time.update(time.time() - t0)
         state, pool, metrics = step_fn(
             state, pool, jax.random.fold_in(key, i),
             jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
             jnp.asarray(t, jnp.float32))
-        batch = next_batch() if i < n_iters else batch
+        batch = next_batch(i + 1) if i < n_iters else batch
         batch_time.update(time.time() - t0)
 
         # metric fetch only at print boundaries (see _train_nerf note)

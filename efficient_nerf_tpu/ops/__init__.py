@@ -20,7 +20,8 @@ __all__ = ["ray_points_embed", "fused_r2l_available", "r2l_forward_fused",
            "fused_ray_embed_available", "fused_nerf_available",
            "nerf_forward_fused", "fused_r2l_train_available",
            "r2l_train_apply", "r2l_forward_int8",
-           "sample_pdf_det_fused"]
+           "sample_pdf_det_fused", "fused_nerf_frame_available",
+           "nerf_render_rays_fused"]
 
 
 def _on_tpu() -> bool:
@@ -61,6 +62,27 @@ def fused_nerf_available() -> bool:
 
 def nerf_forward_fused(*args, **kwargs):
     from .pallas.nerf_forward import nerf_forward_fused as impl
+
+    return impl(*args, **kwargs)
+
+
+def fused_nerf_frame_available() -> bool:
+    """Whole-ray teacher megakernel (ops/pallas/nerf_frame.py) gate:
+    coarse->CDF->merge->fine in one VMEM program. Force-off independently
+    of the field-eval kernel with EFFICIENT_NERF_TPU_NO_FRAME_KERNEL=1."""
+    if os.environ.get("EFFICIENT_NERF_TPU_NO_FRAME_KERNEL"):
+        return False
+    if not fused_nerf_available():
+        return False
+    try:
+        from .pallas import nerf_frame  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def nerf_render_rays_fused(*args, **kwargs):
+    from .pallas.nerf_frame import nerf_render_rays_fused as impl
 
     return impl(*args, **kwargs)
 

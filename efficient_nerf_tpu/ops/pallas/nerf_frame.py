@@ -102,7 +102,10 @@ def _exclusive_cumprod_lanes(x):
     """Exclusive cumprod along the lane axis of [R, S] (Hillis-Steele).
 
     Parallel-scan association (vs jnp.cumprod's serial definition) — ~ulp
-    differences only; S must be a power of two (64/128/256 here)."""
+    differences only. Any S works (the fine pass calls it with
+    S = n_samples + n_importance, e.g. 192): the doubling stages cover up
+    to the next power of two, and the `lane >= s` mask discards wrapped
+    rolls."""
     S = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     s = 1
@@ -397,15 +400,23 @@ def nerf_render_rays_fused(params_coarse, params_fine, rays_o, rays_d,
 
     c = n_samples - 1
     nb = pc["body_w"].shape[0]
+    for k in ("depth", "width", "half", "in_ch", "in_ch_views"):
+        if pf[k] != pc[k]:
+            raise ValueError(
+                f"nerf_render_rays_fused requires matching coarse/fine "
+                f"architectures; {k}: coarse={pc[k]} fine={pf[k]} "
+                f"(the kernel shares one _field_eval body)")
 
     def wspecs(p):
+        w, h, ic, icv = p["width"], p["half"], p["in_ch"], p["in_ch_views"]
         return [
-            const((in_ch, width)), const((width,)),
-            const((nb, width, width)), const((nb, width)),
-            const((in_ch, width)),
-            const((width, width)), const((width,)),
-            const((width, half)), const((in_ch_views, half)), const((half,)),
-            const((half, LANES)), const((width, LANES)), const((LANES,)),
+            const((ic, w)), const((w,)),
+            const((p["body_w"].shape[0], w, w)),
+            const((p["body_w"].shape[0], w)),
+            const((ic, w)),
+            const((w, w)), const((w,)),
+            const((w, h)), const((icv, h)), const((h,)),
+            const((h, LANES)), const((w, LANES)), const((LANES,)),
         ]
 
     zc_col = jnp.tile(zc[0], (tile_r,))[:, None]         # [tile_r*s_c, 1]

@@ -43,12 +43,20 @@ def make_sharded_r2l_train_step(model, optimizer, mesh: Mesh, *,
     follows the caller's committed device_put (replicated via
     replicate_state, or TP via shard_params_tp); batch shardings are pinned
     here and GSPMD propagates the rest.
+
+    The fused Pallas VJP kernel is per-chip (not GSPMD-partitionable), so
+    the model apply is shard_map'ed over 'data' inside the step (see
+    make_r2l_train_step's mesh arg) — multi-chip keeps the kernel's ~2.6x
+    step win instead of falling back to the XLA apply. The fallback still
+    applies automatically off-TPU or for non-uniform model profiles, and
+    tensor parallelism (n_model > 1) pins the XLA path: TP shards the
+    weights themselves, which the per-chip kernel cannot consume.
     """
-    # The fused Pallas VJP kernel is per-chip (not GSPMD-partitionable):
-    # sharded steps keep the XLA apply, which GSPMD splits over 'data'.
-    kw.setdefault("fused", False)
+    if mesh.shape.get("model", 1) > 1:
+        kw.setdefault("fused", False)
     fun = make_r2l_train_step(model, optimizer, near=near, far=far,
-                              n_sample=n_sample, hard=hard, jit=False, **kw)
+                              n_sample=n_sample, hard=hard, jit=False,
+                              mesh=mesh, **kw)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
     return jax.jit(

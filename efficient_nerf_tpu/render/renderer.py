@@ -63,6 +63,14 @@ class RenderConfig:
     # Default on; the strict reference-parity gates pin it off
     # (--exact_embed on the CLI).
     fast_embed: bool = True
+    # whole-ray teacher megakernel (ops/pallas/nerf_frame.py): coarse eval
+    # -> composite -> inverse-CDF -> z-merge -> fine eval -> composite in
+    # ONE Pallas program — removes the ~66 ms/frame of XLA glue between the
+    # two field passes (scripts/profile_teacher_stages.py). Deterministic
+    # eval only; dispatch additionally requires _frame_fused_eligible.
+    frame_fused: bool = True
+    frame_tile_r: int = 64        # rays per grid step (chip-tuned)
+    frame_eval_chunks: int = 2    # field-eval ray sub-chunks per tile
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise.
@@ -89,11 +97,9 @@ class RenderResult(NamedTuple):
     z_std: jnp.ndarray
 
 
-def _nerf_fused_eligible(model, cfg: RenderConfig) -> bool:
-    """The teacher megakernel covers the reference profile: viewdir branch,
+def _nerf_profile_ok(model, cfg: RenderConfig) -> bool:
+    """The teacher megakernels cover the reference profile: viewdir branch,
     one input skip, embed dims matching the config's multires."""
-    from ..ops import fused_nerf_available
-
     skips = tuple(getattr(model, "skips", ()))
     return (cfg.fused_teacher and cfg.use_viewdirs
             and getattr(model, "use_viewdirs", False)
@@ -103,8 +109,33 @@ def _nerf_fused_eligible(model, cfg: RenderConfig) -> bool:
             # width+in_ch inputs and fail with an opaque shape mismatch
             and 0 <= skips[0] < model.depth - 1
             and model.input_ch == 3 * (2 * cfg.multires + 1)
-            and model.input_ch_views == 3 * (2 * cfg.multires_views + 1)
-            and fused_nerf_available())
+            and model.input_ch_views == 3 * (2 * cfg.multires_views + 1))
+
+
+def _nerf_fused_eligible(model, cfg: RenderConfig) -> bool:
+    from ..ops import fused_nerf_available
+
+    return _nerf_profile_ok(model, cfg) and fused_nerf_available()
+
+
+# tests flip this to run the frame kernel in Pallas interpret mode on CPU
+_FRAME_INTERPRET = False
+
+
+def _frame_fused_eligible(model, cfg: RenderConfig, near, far,
+                          t_rand, u, noise) -> bool:
+    """Whole-ray megakernel dispatch: the deterministic eval profile with
+    scalar config near/far and no determinism hooks. Covers the reference
+    eval/pseudo-gen hot loop (create_data.py:814-872, main.py:189-282)."""
+    from ..ops import fused_nerf_frame_available
+
+    return (cfg.frame_fused and _nerf_profile_ok(model, cfg)
+            and cfg.n_importance >= 16 and cfg.n_samples >= 16
+            and cfg.n_samples % 8 == 0 and cfg.n_importance % 8 == 0
+            and not cfg.perturb and cfg.raw_noise_std == 0.0
+            and near is None and far is None
+            and t_rand is None and u is None and noise is None
+            and (fused_nerf_frame_available() or _FRAME_INTERPRET))
 
 
 def _query(model, params, pts, viewdirs, cfg: RenderConfig):
@@ -170,6 +201,18 @@ def render_rays(
     golden tests, mirroring the reference's pytest=True mechanism.
     """
     n_rays = rays_o.shape[0]
+    if _frame_fused_eligible(model, cfg, near, far, t_rand, u, noise):
+        from ..ops import nerf_render_rays_fused
+
+        out = nerf_render_rays_fused(
+            params_coarse, params_fine, rays_o, rays_d, viewdirs,
+            cfg.near, cfg.far, cfg.n_samples, cfg.n_importance,
+            cfg.multires, cfg.multires_views, skip=tuple(model.skips)[0],
+            white_bkgd=cfg.white_bkgd, lindisp=cfg.lindisp,
+            dtype=model.dtype, tile_r=cfg.frame_tile_r,
+            eval_chunks=cfg.frame_eval_chunks, interpret=_FRAME_INTERPRET)
+        return RenderResult(*out)
+
     near = cfg.near if near is None else near
     far = cfg.far if far is None else far
 

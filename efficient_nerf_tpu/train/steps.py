@@ -53,6 +53,8 @@ def make_r2l_train_step(
     hard: Optional[Tuple[int, int]] = None,  # (n_hard_in, n_hard_out)
     fast_embed: bool = True,
     fused: Optional[bool] = None,
+    mesh=None,
+    interpret: bool = False,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -65,8 +67,17 @@ def make_r2l_train_step(
 
     fused: use the Pallas fused fwd+bwd custom-VJP kernel for the model
     apply (ops/pallas/r2l_train.py). None = auto: on when the backend is a
-    TPU and the model matches the uniform scan-body profile. The sharded
-    wrappers (parallel/train.py) pass False — the kernel is per-chip.
+    TPU and the model matches the uniform scan-body profile.
+
+    mesh: a jax.sharding.Mesh with a 'data' axis. The fused kernel is a
+    per-chip program (not GSPMD-partitionable), so with a mesh the apply is
+    shard_map'ed over 'data': each chip runs the kernel on its local ray
+    shard with params replicated in, and shard_map's transpose psums the
+    weight grads over ICI — the same collective GSPMD inserts for the XLA
+    path, so multi-chip keeps the kernel's ~2.6x step win. The sample rows
+    per step (batch + n_hard_out) must divide the 'data' axis size.
+
+    interpret: run the kernel in Pallas interpret mode (CPU tests/dryrun).
     """
     if fused is None or fused:
         from ..ops import fused_r2l_train_available
@@ -79,7 +90,37 @@ def make_r2l_train_step(
         if fused and not eligible:
             raise ValueError("fused train step requires the uniform "
                              "scan-body R2LNet profile")
-        fused = eligible and fused_r2l_train_available()
+        fused = eligible and (fused_r2l_train_available() or interpret)
+
+    fused_apply = None
+    if fused:
+        from ..ops import r2l_train_apply
+
+        def _fused_apply(params, x):
+            # fast_embed: the kernel embeds the raw sample coords itself
+            # (no XLA embed, no [B, K*(2L+1)] HBM round trip). need_dx=
+            # False: pts are sampled data, never differentiated — skips
+            # the input-cotangent matmul/chain and its padded [B, in] HBM
+            # store in the backward kernel.
+            return r2l_train_apply(
+                params, x, res_scale=model.res_scale,
+                use_global_residual=model.use_residual,
+                dtype=model.dtype, embed_L=L if fast_embed else 0,
+                need_dx=False, interpret=interpret)
+
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            # per-chip kernel over the local ray shard; params broadcast
+            # in (P() in_spec), so shard_map's transpose psums the weight
+            # cotangents across 'data' — exactly the DP grad all-reduce.
+            fused_apply = shard_map(
+                _fused_apply, mesh=mesh,
+                in_specs=(P(), P("data")), out_specs=P("data"),
+                check_rep=False)
+        else:
+            fused_apply = _fused_apply
 
     def step(state: TrainState, pool: HardPool, key, rays_o, rays_d, target):
         batch_size = rays_o.shape[0]
@@ -103,19 +144,8 @@ def make_r2l_train_step(
                                         n_sample, key=k_perturb,
                                         perturb=perturb)
             if fused:
-                from ..ops import r2l_train_apply
-
-                # fast_embed: the kernel embeds the raw sample coords
-                # itself (no XLA embed, no [B, K*(2L+1)] HBM round trip).
-                # need_dx=False: pts are sampled data, never differentiated
-                # — skips the input-cotangent matmul/chain and its padded
-                # [B, in] HBM store in the backward kernel.
-                out = r2l_train_apply(
-                    params, pts if fast_embed else ray_embed(pts, L),
-                    res_scale=model.res_scale,
-                    use_global_residual=model.use_residual,
-                    dtype=model.dtype, embed_L=L if fast_embed else 0,
-                    need_dx=False)
+                out = fused_apply(
+                    params, pts if fast_embed else ray_embed(pts, L))
             else:
                 x = ray_embed(pts, L, fast=fast_embed)
                 out = model.apply({"params": params}, x)

@@ -70,13 +70,23 @@ class Logger:
         """Snapshot the package source into <exp>/.caches/code for
         reproducibility (smilelogging's code-cache; reference main.py:22-33
         relies on it via `--cache_ignore`). `ignore` is a comma-separated
-        list of substrings — any source path containing one is skipped."""
+        list of fnmatch patterns, each matched against every PATH SEGMENT
+        of a source file's relative path (so `ignore=ops` skips the ops/
+        directory and ops.py, not loops.py)."""
+        import fnmatch
         import shutil
 
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         dst_root = os.path.join(self.exp_path, ".caches", "code",
                                 os.path.basename(pkg_root))
         skips = [s for s in (ignore or "").split(",") if s]
+
+        def skipped(rel):
+            parts = rel.split(os.sep)
+            segs = parts + [os.path.splitext(parts[-1])[0]]
+            return any(fnmatch.fnmatch(seg, pat)
+                       for seg in segs for pat in skips)
+
         for dirpath, dirnames, filenames in os.walk(pkg_root):
             dirnames[:] = [d for d in dirnames if d != "__pycache__"]
             for fn in filenames:
@@ -84,7 +94,7 @@ class Logger:
                     continue
                 src = os.path.join(dirpath, fn)
                 rel = os.path.relpath(src, pkg_root)
-                if any(s in rel for s in skips):
+                if skipped(rel):
                     continue
                 dst = os.path.join(dst_root, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)

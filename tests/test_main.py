@@ -146,3 +146,62 @@ def test_render_only_and_export(blender_dir, tmp_path):
     path = train(args2, logger2)
     assert os.path.exists(path)
     assert "stablehlo" in path
+
+
+def test_images_mode_nrand_and_precrop(blender_dir, tmp_path, monkeypatch):
+    """Images-mode parity (reference main.py:1264-1302): every batch is
+    exactly N_rand pixels, center-cropped while step < precrop_iters."""
+    from efficient_nerf_tpu import main as main_mod
+    from efficient_nerf_tpu.data.images_dataset import setup_image_datadir
+
+    kd_dir = str(tmp_path / "kd_images")
+    setup_image_datadir(blender_dir, kd_dir)
+    args = _base_args(blender_dir, tmp_path, [
+        "--model_name", "R2L", "--data_mode", "images",
+        "--datadir_kd", f"blender:{kd_dir}",
+        "--n_sample_per_ray", "4", "--N_rand", "7",
+        "--precrop_iters", "10", "--precrop_frac", "0.5",
+    ])
+    logger = Logger(args, basedir=args.basedir)
+    scene = main_mod.load_scene(args)
+    rng = np.random.default_rng(0)
+
+    seen = []
+    orig = main_mod._select_coords
+
+    def spy(rng, H, W, n_rand, mode, precrop_frac=None):
+        seen.append((n_rand, precrop_frac))
+        return orig(rng, H, W, n_rand, mode, precrop_frac)
+
+    monkeypatch.setattr(main_mod, "_select_coords", spy)
+    next_batch, reload = main_mod._make_r2l_data_iterator(
+        args, scene, None, rng, logger)
+
+    o, d, t = next_batch(5)            # inside the precrop warmup
+    assert o.shape == (7, 3) and d.shape == (7, 3) and t.shape == (7, 3)
+    assert seen[-1] == (7, args.precrop_frac)
+    H = scene.hwf[0]
+    sel = orig(np.random.default_rng(1), H, H, 4, "rand", args.precrop_frac)
+    assert sel[:, 0].min() >= H // 4 and sel[:, 0].max() < H - H // 4
+
+    next_batch(10)                     # warmup over: step >= precrop_iters
+    assert seen[-1] == (7, None)
+    assert reload(3) is False          # no schedule -> never rebuilds
+
+
+def test_train_r2l_images_mode(blender_dir, tmp_path):
+    from efficient_nerf_tpu.data.images_dataset import setup_image_datadir
+
+    kd_dir = str(tmp_path / "kd_images")
+    setup_image_datadir(blender_dir, kd_dir)
+    args = _base_args(blender_dir, tmp_path, [
+        "--model_name", "R2L", "--data_mode", "images",
+        "--datadir_kd", f"blender:{kd_dir}",
+        "--n_sample_per_ray", "4", "--N_rand", "16",
+        "--netdepth", "4", "--netwidth", "16",
+        "--precrop_iters", "2", "--precrop_frac", "0.5",
+        "--i_testset", "1000000", "--i_weights", "1000000",
+    ])
+    logger = Logger(args, basedir=args.basedir)
+    state = train(args, logger, max_iters=4)
+    assert int(state.step) == 4

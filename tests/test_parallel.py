@@ -137,3 +137,56 @@ def test_sharded_r2l_forward_matches_single_device():
     got = fn(params, *shard_batch(mesh, o, d))
     want = r2l_forward_rays(model, params, o, d, 2.0, 6.0, n_sample, L=L)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_sharded_fused_step_matches_single_device(rng):
+    """The fused Pallas train VJP shard_map'ed over 'data' (interpret mode
+    on the virtual mesh) matches the single-device fused step AND the XLA
+    step: multi-chip keeps the kernel, not the fallback."""
+    n_sample = 4
+    model, params, opt = _r2l_setup(n_sample)
+    mesh = make_mesh(n_data=8)
+
+    B = 64
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    t = rng.uniform(size=(B, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    # single-device fused (interpret)
+    step1 = make_r2l_train_step(model, opt, near=2.0, far=6.0,
+                                n_sample=n_sample, perturb=False,
+                                donate=False, fused=True, interpret=True)
+    s1 = init_train_state(params, opt)
+    s1, _, m1 = step1(s1, hard_pool_init(4), key, jnp.asarray(o),
+                      jnp.asarray(d), jnp.asarray(t))
+
+    # XLA single-device (the numeric reference)
+    step0 = make_r2l_train_step(model, opt, near=2.0, far=6.0,
+                                n_sample=n_sample, perturb=False,
+                                donate=False, fused=False)
+    s0 = init_train_state(params, opt)
+    s0, _, m0 = step0(s0, hard_pool_init(4), key, jnp.asarray(o),
+                      jnp.asarray(d), jnp.asarray(t))
+
+    # 8-way data-parallel fused (shard_map + interpret)
+    stepN = make_sharded_r2l_train_step(model, opt, mesh, near=2.0, far=6.0,
+                                        n_sample=n_sample, perturb=False,
+                                        fused=True, interpret=True)
+    sN, poolN = replicate_state(mesh, init_train_state(params, opt),
+                                hard_pool_init(4))
+    ob, db, tb = shard_batch(mesh, o, d, t)
+    sN, _, mN = stepN(sN, poolN, key, ob, db, tb)
+
+    np.testing.assert_allclose(float(m1["loss_rgb"]), float(mN["loss_rgb"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m0["loss_rgb"]), float(mN["loss_rgb"]),
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-5),
+        s1.params, jax.device_get(sN.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-4),
+        s0.params, jax.device_get(sN.params))

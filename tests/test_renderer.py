@@ -106,3 +106,55 @@ def test_r2l_image_chunking_invariance():
     rgb = fwd(p, o.reshape(-1, 3), d.reshape(-1, 3))
     np.testing.assert_allclose(np.asarray(rgb).reshape(5, 7, 3),
                                np.asarray(a), atol=1e-4)
+
+
+def test_render_rays_dispatches_frame_kernel(rng, monkeypatch):
+    """render_rays routes the deterministic eval profile to the whole-ray
+    megakernel (interpret mode on CPU) and matches the XLA path; hook/
+    perturb/near-override profiles stay on the XLA path."""
+    from efficient_nerf_tpu.render import renderer as R
+
+    L, Lv, N, Sc, Sf = 4, 2, 11, 16, 32
+    model = NeRFMLP(depth=4, width=32, skips=(1,), input_ch=3 * (2 * L + 1),
+                    input_ch_views=3 * (2 * Lv + 1), dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 3 * (2 * L + 1) + 3 * (2 * Lv + 1))))["params"]
+    o = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    d = jnp.asarray((rng.normal(size=(N, 3)) * 0.3
+                     + np.array([0, 0, -1.0])).astype(np.float32))
+    vd = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    cfg = RenderConfig(n_samples=Sc, n_importance=Sf, perturb=False,
+                       white_bkgd=True, multires=L, multires_views=Lv,
+                       near=2.0, far=6.0, fast_embed=False,
+                       fused_teacher=True, frame_tile_r=8)
+    assert not R._frame_fused_eligible(model, cfg, None, None, None, None,
+                                       None)  # no TPU, interpret off
+    monkeypatch.setattr(R, "_FRAME_INTERPRET", True)
+    assert R._frame_fused_eligible(model, cfg, None, None, None, None, None)
+    # negatives: perturb, noise hook, near override, n_importance=0
+    assert not R._frame_fused_eligible(
+        model, dataclasses_replace(cfg, perturb=True),
+        None, None, None, None, None)
+    assert not R._frame_fused_eligible(model, cfg, 2.5, None, None, None,
+                                       None)
+    assert not R._frame_fused_eligible(model, cfg, None, None, None, None,
+                                       jnp.zeros((N, Sc)))
+    assert not R._frame_fused_eligible(
+        model, dataclasses_replace(cfg, n_importance=0),
+        None, None, None, None, None)
+
+    got = render_rays(model, params, None, o, d, vd, None, cfg)
+    want = render_rays(model, params, None, o, d, vd, None,
+                       dataclasses_replace(cfg, frame_fused=False))
+    for name, a, b in zip(want._fields, want, got):
+        a, b = np.asarray(a), np.asarray(b)
+        nan = np.isnan(a)
+        assert np.array_equal(nan, np.isnan(b)), name
+        np.testing.assert_allclose(np.where(nan, 0, b), np.where(nan, 0, a),
+                                   atol=2e-4, err_msg=name)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)

@@ -27,6 +27,10 @@ def test_logger_code_cache(tmp_path):
     assert os.path.exists(os.path.join(root, "models", "r2l.py"))
     assert not os.path.exists(os.path.join(root, "ops"))
     assert not os.path.exists(os.path.join(root, "data"))
+    # segment-wise match: 'ops' must NOT drop files merely containing it
+    assert os.path.exists(os.path.join(root, "config", "options.py"))
+    # create_data.py contains 'data' as a substring but is not under data/
+    assert os.path.exists(os.path.join(root, "create_data.py"))
 
 
 def test_meters():
