@@ -83,7 +83,7 @@ def main():
     float(run_lo(params, rays_o, rays_d, eps_lo))  # compile
     float(run_hi(params, rays_o, rays_d, eps_hi))
 
-    def timed(run, eps, reps=6):
+    def timed(run, eps, reps=4):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -92,7 +92,22 @@ def main():
         # min: the contention-free floor (differencing two medians was noisy)
         return min(ts)
 
-    dt = (timed(run_hi, eps_hi) - timed(run_lo, eps_lo)) / (n_hi - n_lo)
+    def estimate(run_hi, run_lo, k=3):
+        # k INDEPENDENT scan-differencing estimates -> (median, spread%).
+        # One estimate has no error bar; the measured session-to-session
+        # spread of the same code through the tunneled plugin is ~±3%
+        # (BENCH_r02 15.49M vs BENCH_r03 14.61M vs identical kernels), so
+        # every reported number carries its within-session spread.
+        ds = []
+        for _ in range(k):
+            ds.append((timed(run_hi, eps_hi) - timed(run_lo, eps_lo))
+                      / (n_hi - n_lo))
+        ds.sort()
+        med = ds[len(ds) // 2]
+        spread = 100.0 * (ds[-1] - ds[0]) / med
+        return med, spread
+
+    dt, spread = estimate(run_hi, run_lo)
     rays_per_s = B / dt
 
     result = {
@@ -100,6 +115,7 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / TORCH_BASELINE_RAYS_PER_S, 3),
+        "noise_pct": round(spread, 2),
     }
 
     if use_fused:
@@ -127,10 +143,11 @@ def main():
             rq_lo, rq_hi = make_scan_q(n_lo), make_scan_q(n_hi)
             float(rq_lo(params, rays_o, rays_d, eps_lo))
             float(rq_hi(params, rays_o, rays_d, eps_hi))
-            dtq = (timed(rq_hi, eps_hi) - timed(rq_lo, eps_lo)) / (n_hi - n_lo)
+            dtq, spread_q = estimate(rq_hi, rq_lo)
             result["int8_rays_per_s"] = round(B / dtq, 1)
             result["int8_vs_baseline"] = round(
                 B / dtq / TORCH_BASELINE_RAYS_PER_S, 3)
+            result["int8_noise_pct"] = round(spread_q, 2)
         except Exception:
             pass  # serving mode unavailable: headline metric stands alone
 

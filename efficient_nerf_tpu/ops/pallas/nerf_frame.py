@@ -255,8 +255,14 @@ def _kernel(o_ref, d_ref, de_ref, f_ref, ph_ref, id_ref,
     if "nointerp" in diag:     # diagnostic: skip the interval loop
         zf = jnp.broadcast_to(u2, (rc, s_f)) * btop
         cdf_last = jnp.ones((rc, 1), f32)
-    else:
-        def interp_body(_, carry):
+    elif "rollcdf" in diag:
+        # the original rotate-based loop (the standalone sample_pdf.py
+        # form). Kept as a diagnostic: INSIDE this kernel the two lane
+        # rotates per iteration measured ~12 us/iteration — 1.89 s of a
+        # 2.24 s frame (sweep 2026-08-20, scripts/tune_nerf_frame.py
+        # t64_c2 vs t64_c2_nointerp) — where the masked-reduce form below
+        # runs the same sequential math at a negligible cost.
+        def interp_body_roll(_, carry):
             acc, cdf_lo, pdf_r, bins_r = carry
             cdf_hi = cdf_lo + pdf_r[:, :1]
             msk = (cdf_lo <= u2) & (u2 < cdf_hi)         # [R, S_f]
@@ -270,8 +276,35 @@ def _kernel(o_ref, d_ref, de_ref, f_ref, ph_ref, id_ref,
                     pltpu.roll(bins_r, bins_r.shape[1] - 1, 1))
 
         zf, cdf_last, _, _ = jax.lax.fori_loop(
-            0, s_c - 2, interp_body,
+            0, s_c - 2, interp_body_roll,
             (jnp.zeros((rc, s_f), f32), jnp.zeros((rc, 1), f32), pdf, bins))
+    else:
+        # interval c's pdf/bin edges come from masked lane-reduces against
+        # a traced-index iota (no rotating carries): the CDF still
+        # accumulates sequentially (same association as jnp.cumsum / the
+        # reference), but the loop carries only acc + cdf_lo.
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, pdf.shape, 1)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 1)
+
+        def interp_body(i, carry):
+            acc, cdf_lo = carry
+            pdf_i = jnp.sum(jnp.where(lane_p == i, pdf, 0.0), axis=1,
+                            keepdims=True)
+            b_lo = jnp.sum(jnp.where(lane_b == i, bins, 0.0), axis=1,
+                           keepdims=True)
+            b_hi = jnp.sum(jnp.where(lane_b == i + 1, bins, 0.0), axis=1,
+                           keepdims=True)
+            cdf_hi = cdf_lo + pdf_i
+            msk = (cdf_lo <= u2) & (u2 < cdf_hi)         # [R, S_f]
+            denom = cdf_hi - cdf_lo
+            denom = jnp.where(denom < 1e-5, 1.0, denom)
+            tt = (u2 - cdf_lo) / denom
+            val = b_lo + tt * (b_hi - b_lo)
+            return acc + jnp.where(msk, val, 0.0), cdf_hi
+
+        zf, cdf_last = jax.lax.fori_loop(
+            0, s_c - 2, interp_body,
+            (jnp.zeros((rc, s_f), f32), jnp.zeros((rc, 1), f32)))
     zf = zf + (u2 >= cdf_last) * btop
     zf = jnp.where(jnp.broadcast_to(u2, (rc, s_f)) >= 1.0,
                    jnp.broadcast_to(btop, (rc, s_f)), zf)  # pin u == 1.0

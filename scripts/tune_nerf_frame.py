@@ -43,6 +43,10 @@ VARIANTS = {
     "t256_c4": dict(tile_r=256, eval_chunks=4),
     "t64_c2_nofine": dict(tile_r=64, eval_chunks=2, diag="nofine"),
     "t64_c2_nopdf": dict(tile_r=64, eval_chunks=2, diag="nopdf"),
+    "t64_c2_nointerp": dict(tile_r=64, eval_chunks=2, diag="nointerp"),
+    "t64_c2_nomerge": dict(tile_r=64, eval_chunks=2, diag="nomerge"),
+    "t64_c2_noscan": dict(tile_r=64, eval_chunks=2, diag="noscan"),
+    "t64_c2_nim": dict(tile_r=64, eval_chunks=2, diag="nointerp nomerge"),
     "t32_c1_nofine": dict(tile_r=32, eval_chunks=1, diag="nofine"),
     # compile bisect: which stage explodes the register allocator
     "t32_nofine_nointerp_nomerge": dict(
