@@ -282,28 +282,40 @@ def _kernel(o_ref, d_ref, de_ref, f_ref, ph_ref, id_ref,
         # interval c's pdf/bin edges come from masked lane-reduces against
         # a traced-index iota (no rotating carries): the CDF still
         # accumulates sequentially (same association as jnp.cumsum / the
-        # reference), but the loop carries only acc + cdf_lo.
+        # reference), but the loop carries only acc + cdf_lo. K intervals
+        # are processed per fori_loop iteration: Mosaic's loop-carried
+        # values round-trip VMEM each iteration (measured ~5.7 us per
+        # carried-iteration vs the ~0.1 us the body's VPU work costs), so
+        # amortizing K bodies per carry shrinks the stage ~Kx. The trip
+        # count pads to a K multiple: out-of-range intervals extract
+        # pdf_i = 0 -> empty [cdf_lo, cdf_lo) mask -> no contribution.
         lane_p = jax.lax.broadcasted_iota(jnp.int32, pdf.shape, 1)
         lane_b = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 1)
+        K = 8
+        n_iv = s_c - 2
 
-        def interp_body(i, carry):
+        def interp_body(j, carry):
             acc, cdf_lo = carry
-            pdf_i = jnp.sum(jnp.where(lane_p == i, pdf, 0.0), axis=1,
-                            keepdims=True)
-            b_lo = jnp.sum(jnp.where(lane_b == i, bins, 0.0), axis=1,
-                           keepdims=True)
-            b_hi = jnp.sum(jnp.where(lane_b == i + 1, bins, 0.0), axis=1,
-                           keepdims=True)
-            cdf_hi = cdf_lo + pdf_i
-            msk = (cdf_lo <= u2) & (u2 < cdf_hi)         # [R, S_f]
-            denom = cdf_hi - cdf_lo
-            denom = jnp.where(denom < 1e-5, 1.0, denom)
-            tt = (u2 - cdf_lo) / denom
-            val = b_lo + tt * (b_hi - b_lo)
-            return acc + jnp.where(msk, val, 0.0), cdf_hi
+            for k in range(K):
+                i = j * K + k
+                pdf_i = jnp.sum(jnp.where(lane_p == i, pdf, 0.0), axis=1,
+                                keepdims=True)
+                b_lo = jnp.sum(jnp.where(lane_b == i, bins, 0.0), axis=1,
+                               keepdims=True)
+                b_hi = jnp.sum(jnp.where(lane_b == i + 1, bins, 0.0),
+                               axis=1, keepdims=True)
+                cdf_hi = cdf_lo + pdf_i
+                msk = (cdf_lo <= u2) & (u2 < cdf_hi)     # [R, S_f]
+                denom = cdf_hi - cdf_lo
+                denom = jnp.where(denom < 1e-5, 1.0, denom)
+                tt = (u2 - cdf_lo) / denom
+                val = b_lo + tt * (b_hi - b_lo)
+                acc = acc + jnp.where(msk, val, 0.0)
+                cdf_lo = cdf_hi
+            return acc, cdf_lo
 
         zf, cdf_last = jax.lax.fori_loop(
-            0, s_c - 2, interp_body,
+            0, -(-n_iv // K), interp_body,
             (jnp.zeros((rc, s_f), f32), jnp.zeros((rc, 1), f32)))
     zf = zf + (u2 >= cdf_last) * btop
     zf = jnp.where(jnp.broadcast_to(u2, (rc, s_f)) >= 1.0,

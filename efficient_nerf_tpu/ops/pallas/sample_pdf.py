@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["sample_pdf_det_fused"]
 
 
-def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
+def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int,
+            use_roll: bool = True):
     """bins [T, C], weights [T, C-1], u [1, S] -> samples [T, S]."""
     f32 = jnp.float32
     w = w_ref[:].astype(f32) + 1e-5                       # [T, C-1]
@@ -36,6 +37,48 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
 
     t_rows = w.shape[0]
     s = u.shape[1]
+
+    if not use_roll:
+        # masked-reduce interval fetch (no rotating carries), K intervals
+        # per fori_loop iteration. Two measured Mosaic costs drive this
+        # shape (chip, 160k rays x 62 intervals, scripts/
+        # bench_sample_pdf.py): the rotate form pays ~2x for its two
+        # carried rotating arrays (38.1 vs 13.3 ms), and every loop-carried
+        # iteration round-trips its carries through VMEM (~1.4 us/iter
+        # latency against ~0.1 us of VPU work), so unrolling K bodies per
+        # carry amortizes it. Out-of-range intervals in the padded trip
+        # count extract pdf_i = 0 -> empty mask -> no contribution; the
+        # sequential CDF accumulation order is IDENTICAL to the roll form.
+        lane_p = jax.lax.broadcasted_iota(jnp.int32, pdf.shape, 1)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 1)
+        K = 8
+
+        def body_nr(j, carry):
+            acc, cdf_lo = carry
+            for k in range(K):
+                i = j * K + k
+                pdf_i = jnp.sum(jnp.where(lane_p == i, pdf, 0.0), axis=1,
+                                keepdims=True)
+                b_lo = jnp.sum(jnp.where(lane_b == i, bins, 0.0), axis=1,
+                               keepdims=True)
+                b_hi = jnp.sum(jnp.where(lane_b == i + 1, bins, 0.0),
+                               axis=1, keepdims=True)
+                cdf_hi = cdf_lo + pdf_i
+                mask = (cdf_lo <= u) & (u < cdf_hi)
+                denom = cdf_hi - cdf_lo
+                denom = jnp.where(denom < 1e-5, 1.0, denom)
+                t = (u - cdf_lo) / denom
+                val = b_lo + t * (b_hi - b_lo)
+                acc = acc + jnp.where(mask, val, 0.0)
+                cdf_lo = cdf_hi
+            return acc, cdf_lo
+
+        acc, cdf_lo = jax.lax.fori_loop(
+            0, -(-(n_bins - 1) // K), body_nr,
+            (jnp.zeros((t_rows, s), f32), jnp.zeros((t_rows, 1), f32)))
+        acc = acc + (u >= cdf_lo) * bins[:, -1:]
+        out_ref[:] = jnp.where(u >= 1.0, bins[:, -1:], acc)
+        return
     # interval c spans [cdf_{c-1}, cdf_c) with cdf_{-1} = 0; bins_lo/hi are
     # per-ray scalars lane-broadcast against the S sample levels. The CDF is
     # accumulated sequentially inside the same loop (cumsum has no Mosaic
@@ -78,7 +121,7 @@ def _kernel(bins_ref, w_ref, u_ref, out_ref, *, n_bins: int):
 
 
 def sample_pdf_det_fused(bins, weights, n_samples: int, *, tile_n: int = 1024,
-                         interpret: bool = False):
+                         use_roll: bool = False, interpret: bool = False):
     """Deterministic inverse-CDF sampling: bins [N, C], weights [N, C-1]
     -> sorted samples [N, n_samples]. Same math as
     core.sampling.sample_pdf(det=True)."""
@@ -93,7 +136,7 @@ def sample_pdf_det_fused(bins, weights, n_samples: int, *, tile_n: int = 1024,
         weights = jnp.pad(weights, ((0, pad), (0, 0)), constant_values=1.0)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_bins=c),
+        functools.partial(_kernel, n_bins=c, use_roll=use_roll),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile_n, c), lambda i: (i, 0),

@@ -57,16 +57,25 @@ def shard_batch(mesh: Mesh, *arrays):
 
 
 def _tp_spec_for_path(path: Tuple, leaf) -> P:
-    """Tensor-parallel spec: shard Dense kernels/biases on the width axis.
+    """Tensor-parallel spec: the canonical paired column-then-row split.
 
-    R2L body kernels are [n_block, in, out]; head kernel [in, out]. We shard
-    the LAST axis on 'model' (output features); XLA propagates and inserts
-    collectives between consecutive layers.
+    Each R2L residual block is two matmuls (body.lin_0 then body.lin_1,
+    kernels [n_block, in, out]). Megatron-style: lin_0 splits its OUTPUT
+    features on 'model' (bias too), lin_1 splits its INPUT features — the
+    inner activation stays sharded between the two matmuls and the block
+    costs ONE psum (of lin_1's partial products), instead of the
+    all-gather-per-matmul a uniform last-axis sharding forces. The head
+    splits its output (one gather into block 0); the tiny tail and lin_1
+    biases replicate.
     """
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
     if "tail" in names:
         return P()  # tiny output layer: replicate
-    if leaf.ndim >= 2:
+    if "lin_1" in names:
+        if "kernel" in names:  # row split: shard the contraction (in) axis
+            return P(*([None] * (leaf.ndim - 2) + ["model", None]))
+        return P()             # bias adds AFTER the psum: replicate
+    if leaf.ndim >= 2:       # lin_0 / head: column split (output features)
         return P(*([None] * (leaf.ndim - 1) + ["model"]))
     if leaf.ndim == 1:
         return P("model")

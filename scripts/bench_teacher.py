@@ -5,6 +5,9 @@ bitonic z-merge now in render_rays. Scan-differencing methodology from
 bench.py (cancels the ~30ms tunnel round trip).
 """
 import os, sys, time, json
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp
 import numpy as np
 
@@ -23,8 +26,13 @@ model = NeRFMLP(dtype=jnp.bfloat16)
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
 
 cfg = RenderConfig(n_samples=64, n_importance=128, white_bkgd=True).eval_mode()
-variant = sys.argv[1] if len(sys.argv) > 1 else "fused"
-cfg = dataclasses.replace(cfg, fused_teacher=(variant == "fused"))
+# xla: no Pallas at all; composed: field-eval kernel + standalone sampler +
+# XLA glue; frame: the whole-ray megakernel dispatch (tuned tiling)
+variant = sys.argv[1] if len(sys.argv) > 1 else "composed"
+cfg = dataclasses.replace(
+    cfg, fused_teacher=(variant != "xla"),
+    frame_fused=(variant == "frame"),
+    frame_tile_r=256, frame_eval_chunks=4)
 
 c2w = jnp.asarray(pose_spherical(30.0, -30.0, 4.0)[:3, :4])
 

@@ -122,6 +122,11 @@ def test_sample_pdf_fused_matches_core(rng):
     # docstring)
     np.testing.assert_allclose(got[:, :-1], want[:, :-1], atol=5e-5)
     np.testing.assert_allclose(got[:, -1], np.asarray(bins)[:, -1], atol=1e-6)
+    # the masked-reduce interval loop (use_roll=False) is numerically
+    # identical iteration by iteration — exact match against the roll form
+    got_nr = np.asarray(sample_pdf_det_fused(bins, w, S, tile_n=16,
+                                             use_roll=False, interpret=True))
+    np.testing.assert_array_equal(got_nr, got)
 
 
 def test_raw2outputs_cm_matches_row_major(rng):

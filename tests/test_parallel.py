@@ -190,3 +190,39 @@ def test_sharded_fused_step_matches_single_device(rng):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=2e-4),
         s0.params, jax.device_get(sN.params))
+
+
+def test_tp_step_matches_single_device(rng):
+    """Pure tensor parallelism (1x8 'model' mesh, paired col/row split):
+    one step matches the single-device XLA step numerically."""
+    n_sample = 4
+    model, params, opt = _r2l_setup(n_sample, width=16)
+    mesh = make_mesh(n_data=1, n_model=8)
+
+    B = 16
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    t = rng.uniform(size=(B, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    step1 = make_r2l_train_step(model, opt, near=2.0, far=6.0,
+                                n_sample=n_sample, perturb=False,
+                                donate=False, fused=False)
+    s1 = init_train_state(params, opt)
+    s1, _, m1 = step1(s1, hard_pool_init(4), key, jnp.asarray(o),
+                      jnp.asarray(d), jnp.asarray(t))
+
+    params_tp = shard_params_tp(mesh, params)
+    stepN = make_sharded_r2l_train_step(model, opt, mesh, near=2.0, far=6.0,
+                                        n_sample=n_sample, perturb=False)
+    sN = init_train_state(params_tp, opt)
+    poolN = replicate_state(mesh, hard_pool_init(4))
+    ob, db, tb = shard_batch(mesh, o, d, t)
+    sN, _, mN = stepN(sN, poolN, key, ob, db, tb)
+
+    np.testing.assert_allclose(float(m1["loss_rgb"]), float(mN["loss_rgb"]),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-5),
+        s1.params, jax.device_get(sN.params))
