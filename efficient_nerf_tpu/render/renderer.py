@@ -65,12 +65,17 @@ class RenderConfig:
     fast_embed: bool = True
     # whole-ray teacher megakernel (ops/pallas/nerf_frame.py): coarse eval
     # -> composite -> inverse-CDF -> z-merge -> fine eval -> composite in
-    # ONE Pallas program — removes the ~66 ms/frame of XLA glue between the
-    # two field passes (scripts/profile_teacher_stages.py). Deterministic
-    # eval only; dispatch additionally requires _frame_fused_eligible.
-    frame_fused: bool = True
-    frame_tile_r: int = 64        # rays per grid step (chip-tuned)
-    frame_eval_chunks: int = 2    # field-eval ray sub-chunks per tile
+    # ONE Pallas program. OPT-IN (measured slower than the composed path):
+    # on v5e/jax-0.9 the best tiling runs a 400x400 frame in 430 ms vs the
+    # composed field-eval-kernel path's 380 ms — the XLA glue it removes
+    # (~60 ms) is outweighed by Mosaic's in-kernel costs for the per-ray
+    # glue stages (lane rolls ~1-2 us flat, loop-carry VMEM round trips
+    # ~1.4-5.7 us/iteration, lane<->sublane relayouts for the fine-pass
+    # depth column). Full stage attribution: docs/PERF.md (round-4 table).
+    # Deterministic eval only; dispatch requires _frame_fused_eligible.
+    frame_fused: bool = False
+    frame_tile_r: int = 256       # rays per grid step (chip-tuned)
+    frame_eval_chunks: int = 4    # field-eval ray sub-chunks per tile
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise.

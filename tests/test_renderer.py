@@ -127,7 +127,7 @@ def test_render_rays_dispatches_frame_kernel(rng, monkeypatch):
     cfg = RenderConfig(n_samples=Sc, n_importance=Sf, perturb=False,
                        white_bkgd=True, multires=L, multires_views=Lv,
                        near=2.0, far=6.0, fast_embed=False,
-                       fused_teacher=True, frame_tile_r=8)
+                       fused_teacher=True, frame_fused=True, frame_tile_r=8)
     assert not R._frame_fused_eligible(model, cfg, None, None, None, None,
                                        None)  # no TPU, interpret off
     monkeypatch.setattr(R, "_FRAME_INTERPRET", True)
