@@ -55,14 +55,28 @@ def pick_hard_rays(pool: HardPool, key: jax.Array, batch: jnp.ndarray,
 
 def update_hard_pool(pool: HardPool, batch: jnp.ndarray, per_ray_mse: jnp.ndarray,
                      idx_out: jnp.ndarray, n_hard_in: int,
-                     batch_size: int) -> HardPool:
+                     batch_size: int, exact: bool = False) -> HardPool:
     """Mine the hardest rays of this step into the pool.
 
     batch: [B_aug, D] (augmented batch); only the first batch_size rows are
     scanned. per_ray_mse: [B_aug].
+
+    exact=False uses jax.lax.approx_max_k — the TPU's partition-based
+    top-k (recall ~0.95 of the true hardest set, still exactly n_hard_in
+    rows), measured ~0.3 ms/step cheaper than the full lax.top_k sort at
+    the reference batch (82k rays -> 16k hard, scripts/
+    bench_train_step.py; the r4 ablations attribute the rest of the
+    nohard delta to the 16k appended rays' fwd+bwd compute, not to pool
+    machinery). Which rays count as "hardest" is already sampling noise
+    in the reference algorithm, so the 5% recall slack changes no
+    semantics the pool depends on. exact=True restores the full sort.
     """
     P = pool.rays.shape[0]
-    _, hard_idx = jax.lax.top_k(per_ray_mse[:batch_size], n_hard_in)
+    if exact:
+        _, hard_idx = jax.lax.top_k(per_ray_mse[:batch_size], n_hard_in)
+    else:
+        _, hard_idx = jax.lax.approx_max_k(per_ray_mse[:batch_size],
+                                           n_hard_in)
     hard_rows = batch[hard_idx]  # [n_hard_in, D]
 
     full = pool.count >= P
