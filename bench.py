@@ -123,11 +123,20 @@ def main():
         # bounded by the e2e gate (<0.5 dB on a trained student,
         # tests/test_quality_e2e.py); reported alongside, not as the
         # headline — the headline stays the quality-identical bf16 path.
+        from efficient_nerf_tpu.ops.pallas.r2l_int8 import calibrate_r2l_int8
         from efficient_nerf_tpu.render.r2l_renderer import r2l_forward_rays
+
+        # the served configuration: activation scales calibrated ONCE per
+        # checkpoint (a self-calibrating call inside the frame loop would
+        # re-run the calibration forward every frame — ~1 ms/frame of
+        # non-serving work)
+        scales = calibrate_r2l_int8(params, rays_o[:1024], rays_d[:1024],
+                                    2.0, 6.0, n_sample, L)
 
         def render_q(params, o, d):
             return r2l_forward_rays(model, params, o, d, 2.0, 6.0,
-                                    n_sample, L, quant="int8")
+                                    n_sample, L, quant="int8",
+                                    act_scales=scales)
 
         def make_scan_q(n):
             @jax.jit

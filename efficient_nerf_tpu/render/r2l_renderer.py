@@ -45,7 +45,7 @@ def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
                      n_sample: int, L: int = 10, plucker: bool = False,
                      key: Optional[jax.Array] = None, perturb: bool = False,
                      allow_fused: bool = True, quant: str = "",
-                     batch_stats=None):
+                     batch_stats=None, act_scales=None):
     """[B, 3] rays -> [B, output_dim] colors.
 
     Eval-mode calls on TPU dispatch to the fused Pallas megakernel when the
@@ -62,13 +62,18 @@ def r2l_forward_rays(model, params, rays_o, rays_d, near: float, far: float,
         from ..ops.pallas.r2l_int8 import (calibrate_r2l_int8,
                                            r2l_forward_int8)
 
-        # self-calibrated static activation scales: one small full-precision
-        # forward over a slice of the actual rays (an XLA subgraph of the
-        # same jit program) buys the fast static-scale kernel epilogue
-        n_cal = min(1024, rays_o.shape[0])
-        act_scales = calibrate_r2l_int8(
-            params, rays_o[:n_cal], rays_d[:n_cal], near, far, n_sample, L,
-            res_scale=model.res_scale)
+        # static activation scales: pass act_scales precomputed once per
+        # checkpoint (the served configuration — calibrate_r2l_int8 outside
+        # the hot loop); otherwise self-calibrate with one small
+        # full-precision forward over a slice of the actual rays. The
+        # self-calibration subgraph depends on the rays, so inside a
+        # multi-frame scan it CANNOT be hoisted and costs ~1 ms/frame —
+        # fine for one-shot renders, wrong for serving loops.
+        if act_scales is None:
+            n_cal = min(1024, rays_o.shape[0])
+            act_scales = calibrate_r2l_int8(
+                params, rays_o[:n_cal], rays_d[:n_cal], near, far, n_sample,
+                L, res_scale=model.res_scale)
         return r2l_forward_int8(
             params, rays_o, rays_d, near, far, n_sample, L,
             res_scale=model.res_scale,
