@@ -10,12 +10,16 @@ BASELINE.md north-star asks for >=30x rays/s/chip over the torch baseline.
 
 The benched program is the real eval path: rays -> stratified-sample ->
 positional-embed -> 88-layer ResMLP -> rgb, in bf16 on the MXU (params f32).
+Timing methodology (shared with the CLI --benchmark mode):
+efficient_nerf_tpu/utils/benchmark.py — varied-input scan differencing with
+trimmed multi-estimate spread bars, adaptively widened until the core
+spread is defensible (round-4's single 19.7% bf16 bar came from one
+boost-window outlier among k=3).
 """
 from __future__ import annotations
 
 import json
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +40,7 @@ def main():
     from efficient_nerf_tpu.core.ray_sampler import sample_ray_points
     from efficient_nerf_tpu.models import R2LNet
     from efficient_nerf_tpu.ops import fused_r2l_available, r2l_forward_fused
+    from efficient_nerf_tpu.utils.benchmark import scan_frame_time
 
     n_sample, L = 16, 10
     input_dim = n_sample * 3 * (2 * L + 1)
@@ -60,54 +65,7 @@ def main():
         x = ray_embed(pts, L)
         return model.apply({"params": params}, x)
 
-    # Timing methodology for the tunneled TPU plugin (measured quirks:
-    # block_until_ready does not reliably synchronize, and the host<->device
-    # round trip costs ~30ms): render n frames inside ONE jitted scan whose
-    # per-frame inputs differ, reduce to a scalar (depends on every ray of
-    # every frame), and force completion by fetching the scalar. The fixed
-    # round-trip latency is cancelled by differencing two scan lengths.
-    def make_scan(n):
-        @jax.jit
-        def run(params, rays_o, rays_d, epss):
-            def body(acc, eps):
-                rgb = render(params, rays_o + eps, rays_d)
-                return acc + jnp.sum(rgb), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), epss)
-            return acc
-        return run
-
-    n_lo, n_hi = 1, 6
-    run_lo, run_hi = make_scan(n_lo), make_scan(n_hi)
-    eps_lo = jnp.linspace(0.0, 1e-6, n_lo)
-    eps_hi = jnp.linspace(0.0, 1e-6, n_hi)
-    float(run_lo(params, rays_o, rays_d, eps_lo))  # compile
-    float(run_hi(params, rays_o, rays_d, eps_hi))
-
-    def timed(run, eps, reps=4):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run(params, rays_o, rays_d, eps))  # scalar fetch = barrier
-            ts.append(time.perf_counter() - t0)
-        # min: the contention-free floor (differencing two medians was noisy)
-        return min(ts)
-
-    def estimate(run_hi, run_lo, k=3):
-        # k INDEPENDENT scan-differencing estimates -> (median, spread%).
-        # One estimate has no error bar; the measured session-to-session
-        # spread of the same code through the tunneled plugin is ~±3%
-        # (BENCH_r02 15.49M vs BENCH_r03 14.61M vs identical kernels), so
-        # every reported number carries its within-session spread.
-        ds = []
-        for _ in range(k):
-            ds.append((timed(run_hi, eps_hi) - timed(run_lo, eps_lo))
-                      / (n_hi - n_lo))
-        ds.sort()
-        med = ds[len(ds) // 2]
-        spread = 100.0 * (ds[-1] - ds[0]) / med
-        return med, spread
-
-    dt, spread = estimate(run_hi, run_lo)
+    dt, spread = scan_frame_time(render, params, rays_o, rays_d)
     rays_per_s = B / dt
 
     result = {
@@ -138,21 +96,8 @@ def main():
                                     n_sample, L, quant="int8",
                                     act_scales=scales)
 
-        def make_scan_q(n):
-            @jax.jit
-            def run(params, rays_o, rays_d, epss):
-                def body(acc, eps):
-                    rgb = render_q(params, rays_o + eps, rays_d)
-                    return acc + jnp.sum(rgb), None
-                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), epss)
-                return acc
-            return run
-
         try:
-            rq_lo, rq_hi = make_scan_q(n_lo), make_scan_q(n_hi)
-            float(rq_lo(params, rays_o, rays_d, eps_lo))
-            float(rq_hi(params, rays_o, rays_d, eps_hi))
-            dtq, spread_q = estimate(rq_hi, rq_lo)
+            dtq, spread_q = scan_frame_time(render_q, params, rays_o, rays_d)
             result["int8_rays_per_s"] = round(B / dtq, 1)
             result["int8_vs_baseline"] = round(
                 B / dtq / TORCH_BASELINE_RAYS_PER_S, 3)

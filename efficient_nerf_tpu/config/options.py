@@ -193,6 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
              "batch (fractional allowed)")
     add("--stream_warmup_frames", type=int, default=4,
         help="streaming generator: frames rendered before the first batch")
+    add("--exact_hard_mining", type=_boolish, nargs="?", const=True,
+        default=False,
+        help="mine hard rays with the exact lax.top_k sort instead of the "
+             "TPU approx_max_k (recall ~0.95; train/hard_mining.py) — the "
+             "reference's exact-sort semantics (main.py:1409-1425)")
     add("--exact_embed", type=_boolish, nargs="?", const=True, default=False,
         help="use exact per-frequency sin/cos positional encodings instead "
              "of the double-angle recurrence (~1e-4 abs embed error, ~Lx "

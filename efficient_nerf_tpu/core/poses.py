@@ -19,7 +19,7 @@ __all__ = [
     "pose_spherical", "spherical_render_poses", "novel_pose_grid",
     "random_spherical_pose", "normalize", "viewmatrix", "poses_avg",
     "recenter_poses", "spherify_poses", "render_path_spiral",
-    "random_pose_in_bbox",
+    "random_pose_in_bbox", "make_llff_pose_sampler",
 ]
 
 
@@ -255,3 +255,30 @@ def random_pose_in_bbox(rng: np.random.Generator, poses: np.ndarray,
         [_rand_in(rng, mins_d[i], maxs_d[i], scale) for i in range(3)] + [1.0]
     )
     return np.concatenate([viewmatrix(normalize(z), up, c), hwf], 1).astype(np.float32)
+
+
+def make_llff_pose_sampler(poses: np.ndarray, scale: float = 1.1):
+    """Closure rng -> random [3, 5] pose for a forward-facing capture.
+
+    Packages the reference's module-GLOBALS get_rand_pose_v2
+    (load_llff.py:187-218, globals set at :409-415) as explicit state: the
+    orientation-averaged c2w and the up vector are derived once from the
+    capture's poses, then each draw samples camera origin and view axis
+    uniformly inside the (1.1x-inflated) bbox of the training cameras —
+    the pose distribution LLFF pseudo-data generation must use
+    (create_data.py:642 'from load_llff import get_rand_pose_v2').
+
+    poses: [N, 3, 4] or [N, 3, 5] (hwf column optional; consumers only
+    read pose[:3, :4]).
+    """
+    poses = np.asarray(poses, np.float32)
+    if poses.shape[-1] == 4:
+        poses = np.concatenate(
+            [poses, np.zeros((poses.shape[0], 3, 1), np.float32)], -1)
+    c2w = poses_avg(poses)
+    up = normalize(poses[:, :3, 1].sum(0))
+
+    def sample(rng: np.random.Generator) -> np.ndarray:
+        return random_pose_in_bbox(rng, poses, c2w, up, scale)
+
+    return sample

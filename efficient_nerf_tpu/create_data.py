@@ -34,7 +34,7 @@ from .config.options import parse_args
 from .core.poses import novel_pose_grid, random_spherical_pose
 from .data.images_dataset import append_pseudo_frames, setup_image_datadir
 from .data.pseudo import (SHARD_ROWS, export_pseudo_shards,
-                          make_pseudo_frame_renderer)
+                          make_pseudo_frame_renderer, scene_pose_sampler)
 from .evaluate import render_path
 from .factory import create_models
 from .main import load_scene
@@ -68,13 +68,14 @@ def _prepare_dir(path: str, rm_existing: bool) -> int:
 def _export_patch_shards(render_frame, params_c, params_f, H, W, outdir,
                          n_pose, patch_hw, rng, use_rand_focal, i_save=20,
                          start_split=0, items_per_shard=None, max_save=0,
-                         log=print):
+                         pose_sampler=None, log=print):
     """Frames -> [N, ph, pw, D] patch shards (CNN-style ablation data)."""
     ph, pw = patch_hw
+    pose_sampler = pose_sampler or random_spherical_pose
     items_per_shard = items_per_shard or max(1, SHARD_ROWS // (ph * pw))
     split, acc = start_split, []
     for i in range(1, n_pose + 1):
-        pose = random_spherical_pose(rng)
+        pose = pose_sampler(rng)
         fs = 1.0 + rng.random() if use_rand_focal else 1.0
         rows = np.asarray(render_frame(params_c, params_f,
                                        jnp.asarray(pose[:3, :4]),
@@ -122,6 +123,7 @@ def create_data(args, logger: Optional[Logger] = None):
 
     n_pose = args.n_pose_kd if isinstance(args.n_pose_kd, int) else 100
     mode = args.create_data
+    pose_sampler = scene_pose_sampler(args.dataset_type, scene.poses)
 
     if mode == "rand":
         resume = not args.rm_existing_data
@@ -133,7 +135,7 @@ def create_data(args, logger: Optional[Logger] = None):
             i_save=args.create_data_chunk,
             use_rand_focal=args.use_rand_focal, learn_depth=args.learn_depth,
             resume=resume, trans_origin=args.trans_origin,
-            max_save=args.max_save,
+            max_save=args.max_save, pose_sampler=pose_sampler,
             progress=lambda i, n: log(f"[{i}/{n}] teacher rendering..."))
         log(f"Wrote {n} ray shards to {datadir_kd}")
         return n
@@ -148,8 +150,12 @@ def create_data(args, logger: Optional[Logger] = None):
         if mode == "spiral_evenly_spaced":
             poses = novel_pose_grid(args.n_pose_kd or 100)
         else:
-            poses = np.stack([random_spherical_pose(rng)
-                              for _ in range(n_pose)], 0)
+            ps = []
+            for _ in range(n_pose):  # stored 4x4 homogeneous in the json
+                m = np.eye(4, dtype=np.float32)
+                m[:3, :4] = pose_sampler(rng)[:3, :4]
+                ps.append(m)
+            poses = np.stack(ps, 0)
         render_frame = make_pseudo_frame_renderer(
             teacher.model, teacher.cfg_test, H, W, focal)
         images = []
@@ -177,7 +183,8 @@ def create_data(args, logger: Optional[Logger] = None):
                                  i_save=args.create_data_chunk,
                                  start_split=start,
                                  items_per_shard=args.patch_items_per_shard
-                                 or None, max_save=args.max_save, log=log)
+                                 or None, max_save=args.max_save,
+                                 pose_sampler=pose_sampler, log=log)
         log(f"Wrote {n} patch shards to {datadir_kd}")
         return n
 

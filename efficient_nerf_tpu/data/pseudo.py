@@ -18,14 +18,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.rays import apply_trans_origin, get_rays
+from ..core.rays import apply_trans_origin, get_rays, ndc_rays
 from ..render.renderer import RenderConfig, render_rays
-from ..core.poses import random_spherical_pose
+from ..core.poses import make_llff_pose_sampler, random_spherical_pose
 
 __all__ = ["make_pseudo_frame_renderer", "ShuffleBuffer",
-           "StreamingPseudoGenerator", "export_pseudo_shards", "SHARD_ROWS"]
+           "StreamingPseudoGenerator", "export_pseudo_shards",
+           "scene_pose_sampler", "SHARD_ROWS"]
 
 SHARD_ROWS = 4096
+
+
+def scene_pose_sampler(dataset_type: str, poses=None, radius: float = 4.0):
+    """Pseudo-data pose distribution per dataset family: rng -> c2w.
+
+    blender / deepvoxels: uniform spherical orbit (reference get_rand_pose,
+    load_blender.py:359-368). llff: bbox-random forward-facing poses
+    derived from the capture's own cameras (reference get_rand_pose_v2,
+    load_llff.py:187-218, selected at create_data.py:642) — an orbit pose
+    is geometrically meaningless for a forward-facing capture.
+    """
+    if dataset_type == "llff":
+        if poses is None:
+            raise ValueError(
+                "llff pseudo-data pose sampling needs the capture poses")
+        return make_llff_pose_sampler(poses)
+    return lambda rng: random_spherical_pose(rng, radius=radius)
 
 
 def make_pseudo_frame_renderer(model, cfg: RenderConfig, H: int, W: int,
@@ -37,6 +55,17 @@ def make_pseudo_frame_renderer(model, cfg: RenderConfig, H: int, W: int,
     (rows match the reference shard format, create_data.py:833-841).
     trans_origin applies the reference's origin-translation modes to every
     generated ray (create_data.py:34-37 redefines get_rays via partial).
+
+    cfg.ndc (LLFF forward-facing scenes): every teacher call in the
+    reference goes through render(), which projects the rays to NDC before
+    sampling z in [0, 1] (main.py:160-162, called from create_data.py:825)
+    — so the RENDER here uses NDC rays (viewdirs normalized from the
+    pre-NDC world dirs first), while the PACKED rows keep the raw world
+    rays exactly as the reference dumps them (create_data.py:833-841 packs
+    the get_rays output, not render()'s projected rays). Note the
+    projection uses the BASE focal even under random focal scaling: the
+    reference generates rays with focal_ but calls render(H, W, focal, ...)
+    (create_data.py:816-825).
     """
     chunk = min(cfg.chunk, H * W)
     n = H * W
@@ -52,11 +81,15 @@ def make_pseudo_frame_renderer(model, cfg: RenderConfig, H: int, W: int,
         viewdirs = None
         if ecfg.use_viewdirs:
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if ecfg.ndc:
+            render_o, render_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+        else:
+            render_o, render_d = rays_o, rays_d
 
         def pad0(x):
             return jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
 
-        o_c, d_c = pad0(rays_o), pad0(rays_d)
+        o_c, d_c = pad0(render_o), pad0(render_d)
         vd_c = pad0(viewdirs) if viewdirs is not None else jnp.zeros_like(o_c)
 
         def chunk_fn(carry, inp):
@@ -127,7 +160,7 @@ class StreamingPseudoGenerator:
                  buffer_rays: int = 2_000_000, warmup_frames: int = 4,
                  frames_per_batch: float = 0.5, use_rand_focal: bool = True,
                  learn_depth: str = "", radius: float = 4.0,
-                 trans_origin: str = "",
+                 trans_origin: str = "", pose_sampler=None,
                  rng: Optional[np.random.Generator] = None):
         self.render_frame = make_pseudo_frame_renderer(model, cfg, H, W, focal,
                                                        learn_depth,
@@ -137,6 +170,12 @@ class StreamingPseudoGenerator:
         self.batch_rays = batch_rays
         self.use_rand_focal = use_rand_focal
         self.radius = radius
+        # pose_sampler: rng -> [3, >=4] c2w. Default is the blender orbit
+        # (reference get_rand_pose); LLFF scenes must pass
+        # make_llff_pose_sampler(poses) (reference get_rand_pose_v2,
+        # create_data.py:642).
+        self.pose_sampler = pose_sampler or (
+            lambda r: random_spherical_pose(r, radius=self.radius))
         self.rng = rng or np.random.default_rng(0)
         row_dim = {"": 9, "depth": 10, "surface": 12}[learn_depth]
         self.buffer = ShuffleBuffer(buffer_rays, row_dim, self.rng)
@@ -147,7 +186,7 @@ class StreamingPseudoGenerator:
             self._render_one()
 
     def _render_one(self):
-        pose = random_spherical_pose(self.rng, radius=self.radius)
+        pose = self.pose_sampler(self.rng)
         fs = 1.0 + self.rng.random() if self.use_rand_focal else 1.0
         rows = self.render_frame(self.params[0], self.params[1],
                                  jnp.asarray(pose[:3, :4]),
@@ -173,7 +212,8 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
                          use_rand_focal: bool = True, learn_depth: str = "",
                          resume: bool = True, radius: float = 4.0,
                          trans_origin: str = "", max_save: int = 0,
-                         seed: int = 0, progress=None) -> int:
+                         pose_sampler=None, seed: int = 0,
+                         progress=None) -> int:
     """Write reference-format pseudo shards data_{k}.npy (4096 rows each).
 
     Mirrors create_data.py rand mode: every i_save poses the accumulated
@@ -184,6 +224,8 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
     total size').
     """
     rng = np.random.default_rng(seed)
+    pose_sampler = pose_sampler or (
+        lambda r: random_spherical_pose(r, radius=radius))
     render_frame = make_pseudo_frame_renderer(model, cfg, H, W, focal,
                                               learn_depth, trans_origin)
     os.makedirs(outdir, exist_ok=True)
@@ -192,7 +234,7 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
 
     acc = []
     for i in range(1, n_pose + 1):
-        pose = random_spherical_pose(rng, radius=radius)
+        pose = pose_sampler(rng)
         fs = 1.0 + rng.random() if use_rand_focal else 1.0
         rows = render_frame(params_coarse, params_fine,
                             jnp.asarray(pose[:3, :4]), jnp.float32(fs), None)

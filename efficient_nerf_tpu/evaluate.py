@@ -73,6 +73,26 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
     frame_times = []
 
     n_frames = len(poses) if given_rays is None else len(given_rays[0])
+
+    act_scales = None
+    if quant == "int8" and model_name != "nerf":
+        # serving configuration: calibrate the int8 activation scales ONCE
+        # per checkpoint, outside the frame loop (calibrate_serving_scales
+        # docstring; a per-frame self-calibration costs ~1 ms/frame)
+        from .render.r2l_renderer import calibrate_serving_scales
+
+        if given_rays is not None:
+            cal_o = jnp.asarray(given_rays[0][0])
+            cal_d = jnp.asarray(given_rays[1][0])
+        else:
+            from .core.rays import get_rays
+
+            cal_o, cal_d = get_rays(
+                H, W, focal, jnp.asarray(np.asarray(poses[0])[:3, :4]))
+            cal_o, cal_d = cal_o.reshape(-1, 3), cal_d.reshape(-1, 3)
+        act_scales = calibrate_serving_scales(
+            model, params, cal_o, cal_d, cfg.near, cfg.far,
+            n_sample_per_ray, L=multires)
     for i in range(n_frames):
         t0 = time.time()
         if given_rays is not None:
@@ -81,7 +101,8 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
             o = jnp.asarray(given_rays[0][i])
             d = jnp.asarray(given_rays[1][i])
             rgb = r2l_forward_rays(model, params, o, d, cfg.near, cfg.far,
-                                   n_sample_per_ray, L=multires, quant=quant)
+                                   n_sample_per_ray, L=multires, quant=quant,
+                                   act_scales=act_scales)
             rgb = rgb.reshape(H, W, -1)
         elif model_name == "nerf":
             c2w = jnp.asarray(np.asarray(poses[i])[:3, :4])
@@ -92,7 +113,8 @@ def render_path(bundle, poses: Sequence[np.ndarray], hwf, *,
             c2w = jnp.asarray(np.asarray(poses[i])[:3, :4])
             rgb = r2l_render_image(model, params, c2w, H, W, focal,
                                    cfg.near, cfg.far, n_sample_per_ray,
-                                   L=multires, plucker=plucker, quant=quant)
+                                   L=multires, plucker=plucker, quant=quant,
+                                   act_scales=act_scales)
         rgb = np.asarray(jax.device_get(rgb))
         frame_times.append(time.time() - t0)
         rgbs.append(rgb)

@@ -29,7 +29,7 @@ import numpy as np
 
 from .config.options import parse_args
 from .core.poses import spherical_render_poses
-from .core.rays import get_rays_np, ndc_rays
+from .core.rays import get_rays_np
 from .data.blender import composite_white, load_blender_data
 from .data.deepvoxels import load_dv_data
 from .data.images_dataset import ImageFrameDataset, pseudo_ratio_schedule
@@ -113,25 +113,26 @@ def _eval_bundle(bundle: Bundle, params) -> Bundle:
 
 
 def _select_coords(rng, H, W, n_rand, mode, precrop_frac=None):
-    """Pixel-coordinate sampling (reference get_selected_coords +
-    precrop, main.py:1264-1302)."""
+    """Pixel-coordinate sampling (reference main.py:1264-1302): the precrop
+    warmup restricts the coordinate GRID, then get_selected_coords applies
+    the select_pixel_mode within it — so rand_patch yields a contiguous
+    patch inside the cropped grid, sized from the cropped dims
+    (helpers.py:385-405)."""
+    y0, x0, gh, gw = 0, 0, H, W
     if precrop_frac is not None:
         dH, dW = int(H // 2 * precrop_frac), int(W // 2 * precrop_frac)
-        ys = np.arange(H // 2 - dH, H // 2 + dH)
-        xs = np.arange(W // 2 - dW, W // 2 + dW)
-        grid = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
-        sel = grid[rng.choice(len(grid), size=n_rand, replace=False)]
-        return sel
+        y0, x0 = H // 2 - dH, W // 2 - dW
+        gh, gw = 2 * dH, 2 * dW
     if mode == "rand_patch":
-        k = math.sqrt(float(n_rand) / H / W)
-        ph, pw = int(H * k), int(W * k)
-        y0 = rng.integers(0, H - ph)
-        x0 = rng.integers(0, W - pw)
-        ys, xs = np.meshgrid(np.arange(y0, y0 + ph), np.arange(x0, x0 + pw),
+        k = math.sqrt(float(n_rand) / gh / gw)
+        ph, pw = int(gh * k), int(gw * k)
+        py = y0 + (int(rng.integers(0, gh - ph)) if gh > ph else 0)
+        px = x0 + (int(rng.integers(0, gw - pw)) if gw > pw else 0)
+        ys, xs = np.meshgrid(np.arange(py, py + ph), np.arange(px, px + pw),
                              indexing="ij")
         return np.stack([ys, xs], -1).reshape(-1, 2)
-    idx = rng.choice(H * W, size=n_rand, replace=False)
-    return np.stack([idx // W, idx % W], -1)
+    idx = rng.choice(gh * gw, size=n_rand, replace=False)
+    return np.stack([y0 + idx // gw, x0 + idx % gw], -1)
 
 
 def _export_stablehlo(bundle: Bundle, args, logger):
@@ -230,23 +231,39 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
         return _export_stablehlo(bundle, args, logger)
 
     if args.benchmark:
-        from .render.r2l_renderer import r2l_render_image
+        # Reference --benchmark (main.py:1124-1133) times repeated identical
+        # full-frame forwards. Through the tunneled TPU plugin that recipe
+        # reports wrong numbers (identical executions appear cached; a
+        # per-rep host fetch costs ~30 ms — ~3x a frame): this mode shares
+        # bench.py's varied-input scan-differencing instead
+        # (utils/benchmark.py), so the user-facing number and the tracked
+        # BENCH_r*.json agree within the reported spread.
+        from .render.r2l_renderer import (calibrate_serving_scales,
+                                          r2l_forward_rays)
+        from .core.rays import get_rays
+        from .utils.benchmark import scan_frame_time
+
         c2w = jnp.asarray(video_poses[0][:3, :4])
         quant = getattr(args, "inference_quant", "")
-        r2l_render_image(bundle.model, bundle.params, c2w, H, W, focal,
-                         near, far, args.n_sample_per_ray,
-                         quant=quant)  # compile
-        reps = []
-        for _ in range(10):
-            t0 = time.time()
-            out = r2l_render_image(bundle.model, bundle.params, c2w, H, W,
-                                   focal, near, far, args.n_sample_per_ray,
-                                   quant=quant)
-            np.asarray(out[:1, :1])  # completion barrier
-            reps.append(time.time() - t0)
-        med = sorted(reps)[len(reps) // 2]
-        log(f"[BENCH] frame {med * 1e3:.2f}ms  {H * W / med / 1e6:.2f}M rays/s")
-        return med
+        rays_o, rays_d = get_rays(H, W, focal, c2w)
+        rays_o, rays_d = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+        act_scales = None
+        if quant == "int8":
+            act_scales = calibrate_serving_scales(
+                bundle.model, bundle.params, rays_o, rays_d, near, far,
+                args.n_sample_per_ray, L=args.multires)
+
+        def render(params, o, d):
+            return r2l_forward_rays(bundle.model, params, o, d, near, far,
+                                    args.n_sample_per_ray, L=args.multires,
+                                    plucker=args.plucker, quant=quant,
+                                    act_scales=act_scales)
+
+        dt, spread = scan_frame_time(render, bundle.params, rays_o, rays_d,
+                                     log=log)
+        log(f"[BENCH] frame {dt * 1e3:.2f}ms  {H * W / dt / 1e6:.2f}M rays/s"
+            f"  (core spread ±{spread / 2:.1f}%)")
+        return dt
 
     # ---- training -----------------------------------------------------------
     n_iters = max_iters or args.N_iters
@@ -355,8 +372,12 @@ def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
                 video_poses, guard=None):
     log = logger.info
     H, W, focal = scene.hwf
+    # raw world rays in; the step projects to NDC itself (viewdirs from the
+    # pre-NDC dirs) — both batched and pixel-sampled branches below feed it
+    # unprojected rays, like the reference feeds render() (main.py:148-162).
     step_fn = make_teacher_train_step(bundle.model, bundle.optimizer,
-                                      bundle.cfg_train, donate=False)
+                                      bundle.cfg_train, hwf=(H, W, focal),
+                                      donate=False)
     state = init_train_state(bundle.params, bundle.optimizer)
     if bundle.restored_opt_state is not None:
         state = state._replace(opt_state=bundle.restored_opt_state)
@@ -403,10 +424,6 @@ def _train_nerf(args, logger, scene, bundle, n_iters, start, best_psnr,
             rays_o = ro_full[sel[:, 0], sel[:, 1]]
             rays_d = rd_full[sel[:, 0], sel[:, 1]]
             target = scene.images[img_i][sel[:, 0], sel[:, 1]]
-            if bundle.cfg_train.ndc:
-                o, d = ndc_rays(H, W, focal, 1.0, jnp.asarray(rays_o),
-                                jnp.asarray(rays_d))
-                rays_o, rays_d = np.asarray(o), np.asarray(d)
 
         state, metrics = step_fn(state, jax.random.fold_in(key, i),
                                  jnp.asarray(rays_o, jnp.float32),
@@ -448,7 +465,7 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
     if args.stream_pseudo_data:
         if not args.teacher_ckpt:
             raise ValueError("--stream_pseudo_data requires --teacher_ckpt")
-        from .data.pseudo import StreamingPseudoGenerator
+        from .data.pseudo import StreamingPseudoGenerator, scene_pose_sampler
         from .factory import create_models
         targs = SimpleNamespace(**vars(args))
         targs.model_name = "nerf"
@@ -473,7 +490,9 @@ def _make_r2l_data_iterator(args, scene, bundle, rng, logger):
             frames_per_batch=args.stream_frames_per_batch,
             use_rand_focal=args.use_rand_focal,
             learn_depth=args.learn_depth,
-            trans_origin=args.trans_origin, rng=rng)
+            trans_origin=args.trans_origin,
+            pose_sampler=scene_pose_sampler(args.dataset_type, scene.poses),
+            rng=rng)
         log("Streaming pseudo data from on-device teacher")
         return (lambda step=None: next(gen)), (lambda step: False)
 
@@ -609,6 +628,7 @@ def _train_r2l(args, logger, scene, bundle, n_iters, start, best_psnr,
             perturb=args.perturb > 0, lw_rgb=args.lw_rgb,
             learn_depth=bool(args.learn_depth), lw_depth=args.lw_depth,
             plucker=args.plucker, hard=hard,
+            exact_hard_mining=bool(args.exact_hard_mining),
             fast_embed=not args.exact_embed, donate=False)
     state = init_train_state(bundle.params, bundle.optimizer)
     if bundle.restored_opt_state is not None:

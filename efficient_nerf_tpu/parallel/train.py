@@ -67,8 +67,8 @@ def make_sharded_r2l_train_step(model, optimizer, mesh: Mesh, *,
 
 
 def make_sharded_teacher_train_step(model, optimizer, mesh: Mesh, cfg,
-                                    donate: bool = True):
-    fun = make_teacher_train_step(model, optimizer, cfg, jit=False)
+                                    hwf=None, donate: bool = True):
+    fun = make_teacher_train_step(model, optimizer, cfg, hwf=hwf, jit=False)
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
     return jax.jit(

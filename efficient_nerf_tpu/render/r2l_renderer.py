@@ -16,7 +16,25 @@ from ..core.encoding import ray_embed
 from ..core.ray_sampler import sample_image_points, sample_ray_points
 from ..core.rays import plucker_rays
 
-__all__ = ["r2l_forward_rays", "r2l_render_image", "make_r2l_forward"]
+__all__ = ["r2l_forward_rays", "r2l_render_image", "make_r2l_forward",
+           "calibrate_serving_scales"]
+
+
+def calibrate_serving_scales(model, params, rays_o, rays_d, near: float,
+                             far: float, n_sample: int, L: int = 10,
+                             n_cal: int = 1024):
+    """Per-checkpoint int8 activation scales, computed ONCE at load time.
+
+    Serving loops (render_path with --inference_quant int8, --benchmark)
+    pass the result through act_scales so the jitted frame program carries
+    no data-dependent self-calibration subgraph — re-calibrating inside
+    every frame costs ~1 ms/frame of non-serving work (the round-4
+    22.7 -> 23.5 M rays/s win, docs/PERF.md)."""
+    from ..ops.pallas.r2l_int8 import calibrate_r2l_int8
+
+    n_cal = min(n_cal, rays_o.shape[0])
+    return calibrate_r2l_int8(params, rays_o[:n_cal], rays_d[:n_cal], near,
+                              far, n_sample, L, res_scale=model.res_scale)
 
 
 def _is_conv(model) -> bool:
@@ -116,16 +134,18 @@ def make_r2l_forward(model, near: float, far: float, n_sample: int,
 def r2l_render_image(model, params, c2w, H: int, W: int, focal: float,
                      near: float, far: float, n_sample: int, L: int = 10,
                      plucker: bool = False, chunk: int = 0, quant: str = "",
-                     batch_stats=None):
+                     batch_stats=None, act_scales=None):
     """Render a full frame. chunk=0 -> the whole frame in one XLA call
-    (the fast path: H*W x width matmuls saturate the MXU)."""
+    (the fast path: H*W x width matmuls saturate the MXU). act_scales:
+    per-checkpoint int8 scales from calibrate_serving_scales (serving
+    loops must pass them; None self-calibrates per call)."""
     if quant == "int8" or _fused_eligible(model, plucker, perturb=False):
         from ..core.rays import get_rays
 
         rays_o, rays_d = get_rays(H, W, focal, c2w)
         rgb = r2l_forward_rays(model, params, rays_o.reshape(-1, 3),
                                rays_d.reshape(-1, 3), near, far, n_sample, L,
-                               quant=quant)
+                               quant=quant, act_scales=act_scales)
         return rgb.reshape(H, W, -1)
     pts = sample_image_points(c2w, H, W, focal, near, far, n_sample,
                               plucker=plucker)

@@ -15,7 +15,7 @@ import optax
 
 from ..core.encoding import ray_embed
 from ..core.ray_sampler import sample_patch_points, sample_ray_points
-from ..core.rays import plucker_rays
+from ..core.rays import ndc_rays, plucker_rays
 from ..render.renderer import RenderConfig, render_rays
 from .hard_mining import HardPool, pick_hard_rays, update_hard_pool
 
@@ -51,6 +51,7 @@ def make_r2l_train_step(
     lw_depth: float = 0.1,
     plucker: bool = False,
     hard: Optional[Tuple[int, int]] = None,  # (n_hard_in, n_hard_out)
+    exact_hard_mining: bool = False,
     fast_embed: bool = True,
     fused: Optional[bool] = None,
     mesh=None,
@@ -168,7 +169,8 @@ def make_r2l_train_step(
         if hard is not None:
             rows_aug = jnp.concatenate([rays_o_aug, rays_d_aug, target_aug], -1)
             pool = update_hard_pool(pool, rows_aug, per_ray_mse, idx_out,
-                                    hard[0], batch_size)
+                                    hard[0], batch_size,
+                                    exact=exact_hard_mining)
 
         metrics = {
             "loss_rgb": loss_rgb,
@@ -247,6 +249,7 @@ def make_teacher_train_step(
     model,
     optimizer,
     cfg: RenderConfig,
+    hwf: Optional[Tuple[int, int, float]] = None,
     donate: bool = True,
     jit: bool = True,
 ):
@@ -256,8 +259,18 @@ def make_teacher_train_step(
 
     state.params is {'coarse': ..., 'fine': ...} ('fine' may be absent when
     cfg.n_importance == 0).
+
+    rays_o/rays_d are RAW world rays in every mode. When cfg.ndc (LLFF
+    forward-facing scenes) the step itself applies the projection, matching
+    the reference where every training call goes through render():
+    viewdirs are normalized from the PRE-NDC world dirs, then o/d are
+    projected to NDC before sampling z in [0, 1] (reference
+    main.py:148-162). hwf=(H, W, focal) is required for the projection.
     """
     has_fine = cfg.n_importance > 0
+    if cfg.ndc and hwf is None:
+        raise ValueError("cfg.ndc requires hwf=(H, W, focal) so the step "
+                         "can project raw rays itself")
 
     def step(state: TrainState, key, rays_o, rays_d, target):
         k_render = key
@@ -265,10 +278,15 @@ def make_teacher_train_step(
         def loss_fn(params):
             viewdirs = None
             if cfg.use_viewdirs:
+                # pre-NDC world dirs (reference main.py:148-158)
                 viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1,
                                                     keepdims=True)
+            ro, rd = rays_o, rays_d
+            if cfg.ndc:
+                H, W, focal = hwf
+                ro, rd = ndc_rays(H, W, focal, 1.0, ro, rd)
             res = render_rays(model, params["coarse"],
-                              params.get("fine"), rays_o, rays_d,
+                              params.get("fine"), ro, rd,
                               viewdirs, k_render, cfg)
             loss = jnp.mean((res.rgb - target) ** 2)
             loss_fine = loss

@@ -115,3 +115,59 @@ def test_patch_mode_student_trains_on_patch_shards(blender_dir, tmp_path):
     ])
     logger = Logger(targs, basedir=targs.basedir)
     train(targs, logger, max_iters=3)  # smoke: compiles + steps, no NaNs
+
+
+def test_create_data_rand_llff_bbox_poses_and_raw_rays(tmp_path):
+    """LLFF rand mode (the round-4 gap): shards must carry RAW world rays
+    (reference create_data.py:833-841 packs the get_rays output while
+    render() projects to NDC internally) sampled from bbox poses near the
+    capture — NOT the blender radius-4 orbit. With the old orbit bug every
+    origin had norm ~4; bbox origins sit inside the (recentered, inflated)
+    camera box with norms well under 1."""
+    from efficient_nerf_tpu.data.synthetic import make_forward_facing_scene
+    from efficient_nerf_tpu.main import train
+
+    scene_dir = str(tmp_path / "ff")
+    make_forward_facing_scene(scene_dir, n_images=6, H=16, W=16)
+
+    common = [
+        "--datadir", scene_dir, "--dataset_type", "llff",
+        "--factor", "1", "--llffhold", "6",
+        "--basedir", str(tmp_path / "logs"),
+        "--N_samples", "4", "--N_importance", "4",
+        "--netdepth", "2", "--netwidth", "16",
+        "--netdepth_fine", "2", "--netwidth_fine", "16",
+        "--chunk", "256", "--use_viewdirs",
+        "--i_testset", "1000000", "--i_video", "1000000",
+        "--n_pose_video", "2",
+    ]
+    targs = parse_args([*common, "--expname", "llff_teacher",
+                        "--model_name", "nerf", "--N_rand", "64",
+                        "--i_weights", "1", "--i_print", "1"])
+    tlogger = Logger(targs, basedir=targs.basedir)
+    train(targs, tlogger, max_iters=1)
+    ckpt = os.path.join(tlogger.weights_path, "ckpt.msgpack")
+
+    kd = str(tmp_path / "kd_llff")
+    # 16x16 = 256 rays/frame; 16 poses = 4096 rays = exactly one shard
+    cargs = parse_args([*common, "--expname", "llff_cd",
+                        "--model_name", "nerf", "--teacher_ckpt", ckpt,
+                        "--create_data", "rand", "--datadir_kd",
+                        f"llff:{kd}", "--n_pose_kd", "16",
+                        "--create_data_chunk", "16"])
+    from efficient_nerf_tpu.create_data import create_data
+    n = create_data(cargs, Logger(cargs, basedir=cargs.basedir))
+    assert n == 1
+    rows = np.load(os.path.join(kd, "data_1.npy"))
+    assert rows.shape == (4096, 9)
+    assert np.isfinite(rows).all()
+    o, d = rows[:, :3], rows[:, 3:6]
+    # raw world rays from bbox poses: origins inside the recentered capture
+    # bbox (norm << 1 for this scene), not the radius-4 blender orbit and
+    # not NDC origins (which would pin o_z to -1)
+    assert np.linalg.norm(o, axis=1).max() < 1.5, "origins look like an orbit"
+    # bbox pose sampling: many distinct camera origins across the 16 frames
+    assert len(np.unique(np.round(o, 4), axis=0)) > 10
+    # raw dirs: unnormalized pixel rays looking roughly down -z (the
+    # forward-facing capture direction), as get_rays produces them
+    assert (d[:, 2] < 0).mean() > 0.95

@@ -490,3 +490,48 @@ def test_flip_matches_reference(rng, flip_cpu_patch):
         np.asarray(got_map)[..., 0], want_map.numpy()[:, 0], atol=1e-4)
     got = flip(jnp.asarray(a), jnp.asarray(b))
     np.testing.assert_allclose(float(got), float(want_map.mean()), atol=1e-5)
+
+
+def test_llff_rand_pose_matches_reference():
+    """make_llff_pose_sampler vs the ACTUAL get_rand_pose_v2
+    (load_llff.py:187-218). The reference reads module GLOBALS set during
+    load_llff_data (:409-415) and draws from the global numpy RNG; we set
+    the same globals and feed our sampler a shim that consumes the same
+    global draw sequence, so the six bbox uniforms line up 1:1."""
+    import dataset.load_llff as ref_llff
+
+    from efficient_nerf_tpu.core.poses import (make_llff_pose_sampler,
+                                               normalize, poses_avg)
+
+    rng = np.random.default_rng(11)
+    # plausible forward-facing capture: small rotations + translations
+    n = 9
+    poses = []
+    for _ in range(n):
+        ax = rng.normal(size=3) * 0.1
+        a = np.linalg.norm(ax)
+        k = ax / (a + 1e-12)
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        R = np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+        t = rng.normal(size=(3, 1)) * 0.3
+        hwf = np.array([[40.0], [52.0], [50.0]])
+        poses.append(np.concatenate([R, t, hwf], 1))
+    poses = np.stack(poses, 0).astype(np.float32)
+
+    c2w = poses_avg(poses)
+    up = normalize(poses[:, :3, 1].sum(0))
+    ref_llff.GLOBALS = {"c2w": c2w, "up": up, "focal": 50.0, "poses": poses}
+
+    class _GlobalNpShim:
+        """np.random.Generator stand-in that replays the reference's
+        np.random.rand() sequence through .uniform()."""
+
+        def uniform(self, lo, hi):
+            return np.random.rand() * (hi - lo) + lo
+
+    for seed in (123, 7):
+        np.random.seed(seed)
+        want = ref_llff.get_rand_pose_v2().cpu().numpy()
+        np.random.seed(seed)
+        got = make_llff_pose_sampler(poses)(_GlobalNpShim())
+        np.testing.assert_allclose(got, want, atol=1e-6)

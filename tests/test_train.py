@@ -121,6 +121,59 @@ def test_teacher_train_step_learns(rng):
     assert losses[-1] < losses[0]
 
 
+def test_teacher_step_applies_ndc_with_pre_ndc_viewdirs(rng):
+    """cfg.ndc: the step takes RAW world rays, normalizes viewdirs from the
+    PRE-NDC dirs, then projects o/d before sampling z in [0, 1] — the
+    order the reference render() uses on every training call
+    (main.py:148-162). The step's loss must equal that manual composition
+    and differ from both wrong orderings (viewdirs from post-NDC dirs; no
+    projection at all), so the test discriminates the round-4 defects."""
+    from efficient_nerf_tpu.core.rays import get_rays_np, ndc_rays
+    from efficient_nerf_tpu.render import render_rays
+
+    H, W, focal = 10, 12, 14.0
+    cfg = RenderConfig(n_samples=8, n_importance=4, perturb=False,
+                       use_viewdirs=True, ndc=True, near=0.0, far=1.0,
+                       multires=10, multires_views=4)
+    model = NeRFMLP(depth=2, width=16, input_ch=63, input_ch_views=27,
+                    use_viewdirs=True)
+    key = jax.random.PRNGKey(5)
+    p = model.init(key, jnp.zeros((1, 63 + 27)))["params"]
+    params = {"coarse": p, "fine": p}
+    opt = optax.adam(5e-3)
+    state = init_train_state(params, opt)
+
+    with pytest.raises(ValueError):
+        make_teacher_train_step(model, opt, cfg, donate=False)  # no hwf
+
+    step = make_teacher_train_step(model, opt, cfg, hwf=(H, W, focal),
+                                   donate=False)
+    c2w = np.concatenate([np.eye(3, dtype=np.float32),
+                          np.array([[0.1], [0.2], [0.3]], np.float32)], 1)
+    ro, rd = get_rays_np(H, W, focal, c2w)
+    ro = jnp.asarray(ro.reshape(-1, 3)[:32])
+    rd = jnp.asarray(rd.reshape(-1, 3)[:32])
+    t = jnp.asarray(rng.uniform(size=(32, 3)).astype(np.float32))
+    k = jax.random.PRNGKey(9)
+    _, m = step(state, k, ro, rd, t)
+
+    def manual_loss(o2, d2, viewdir_src):
+        vd = viewdir_src / jnp.linalg.norm(viewdir_src, axis=-1,
+                                           keepdims=True)
+        res = render_rays(model, params["coarse"], params["fine"], o2, d2,
+                          vd, k, cfg)
+        return float(jnp.mean((res.rgb - t) ** 2)
+                     + jnp.mean((res.rgb0 - t) ** 2))
+
+    no2, nd2 = ndc_rays(H, W, focal, 1.0, ro, rd)
+    correct = manual_loss(no2, nd2, rd)       # project, viewdirs pre-NDC
+    wrong_post_ndc_vd = manual_loss(no2, nd2, nd2)
+    wrong_unprojected = manual_loss(ro, rd, rd)
+    np.testing.assert_allclose(float(m["loss"]), float(correct), rtol=1e-5)
+    assert abs(float(correct) - wrong_post_ndc_vd) > 1e-6
+    assert abs(float(correct) - wrong_unprojected) > 1e-6
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     model = R2LNet(input_dim=12, depth=4, width=8)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 12)))["params"]
