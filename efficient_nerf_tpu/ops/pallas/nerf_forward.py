@@ -292,20 +292,37 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
         out_ref[:, k * sub:(k + 1) * sub] = raw[:, :4].T
 
 
+def _default_tiling(S: int):
+    """(tile_p, interleave) per sample count — r5 on-chip sweep under the
+    jax 0.9 Mosaic (scripts/tune_nerf_kernel_s.py + long-window sustained
+    re-measurement; full writeup in docs/PERF.md r5 section).
+
+    What replicated: at S=64 the chunk-shaped stage test improved 20.7 ->
+    16.3 ms per 2.1M-point call with t2048/il2 (same-session before/after).
+    What did NOT: the short-run standalone sweep's apparent 15-25% S=192
+    deltas — identical configs spread 12.7-16.8 ms/2M across runs, and a
+    long-window (8,24)-differenced re-measurement puts il1 and il2 both at
+    ~15.3 ms/2M (~150 TF/s). The 400x400 eval frame is unchanged (381-383
+    ms, <1% frame-level spread) under every tiling tried; these defaults
+    are the sweep's central values, kept because the S=64 stage win is
+    real and nothing regresses."""
+    if S >= 96:
+        return 4096, 2
+    return 2048, 2
+
+
 def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
-                       *, skip: int = 4, tile_p: int = 4096,
-                       dtype=jnp.bfloat16, interleave: int = 1,
+                       *, skip: int = 4, tile_p: int = 0,
+                       dtype=jnp.bfloat16, interleave: int = 0,
                        t_out: bool = False,
                        diag: str = "", interpret: bool = False,
                        cm: bool = False):
-    # Defaults from the r2 diagnostic sweep (scripts/tune_nerf_kernel.py on
-    # v5e): a single un-interleaved chain at tile_p=4096 runs 153 TFLOP/s vs
-    # 144.6 for the former interleave=2/tile 3072 — with one chain Mosaic
-    # already overlaps the epilogue with the next layer's matmul, and the
-    # split chains halve the matmul M dim for no gain. t_out (MXU-transposed
-    # output epilogue) measured neutral (15.81 vs 15.74 ms/2M pts) and stays
-    # off; nosincos/noviews diags bound the trig at ~6% and the whole view
-    # branch at ~10% — proportionate to their FLOPs, no outlier left.
+    # tile_p/interleave 0 = auto per S (_default_tiling). Other knobs from
+    # the r2 diagnostic sweep (scripts/tune_nerf_kernel.py on v5e): t_out
+    # (MXU-transposed output epilogue) measured neutral (15.81 vs 15.74
+    # ms/2M pts) and stays off; nosincos/noviews diags bound the trig at
+    # ~6% and the whole view branch at ~10% — proportionate to their
+    # FLOPs, no outlier left.
     """Fused teacher field evaluation.
 
     pts: [N, S, 3] sample points (S samples per ray); viewdirs: [N, 3]
@@ -326,6 +343,11 @@ def nerf_forward_fused(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     jnp, same math as the kernel's point embed).
     """
     packed = pack_nerf_weights(params, skip=skip, dtype=dtype)
+    S_auto = pts.shape[2] if (cm and pts.ndim == 3) else (
+        pts.shape[1] if pts.ndim == 3 else 0)
+    auto_tp, auto_il = _default_tiling(max(1, S_auto))
+    tile_p = tile_p or auto_tp
+    interleave = interleave or auto_il
     if cm:
         assert pts.ndim == 3 and pts.shape[0] == 3, "cm pts must be [3, N, S]"
         N, S = pts.shape[1], pts.shape[2]

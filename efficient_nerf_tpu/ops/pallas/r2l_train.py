@@ -46,6 +46,14 @@ class _Profile(NamedTuple):
     dtype: Any
     interpret: bool
     embed_L: int = 0   # >0: input is [B, K] sample coords, embed in-kernel
+    # backward-kernel ray tile; 0 = same as tile_b. The two kernels have
+    # different optima (r5 on-chip sweep, scripts/tune_r2l_train_kernel.py):
+    # the forward is fastest at 512 while the backward — whose per-tile
+    # working set adds the f32 weight-grad accumulators — is ~2-3 ms
+    # faster at 1024 at the reference batch. Both tilings address the same
+    # residual array (rays padded to a common multiple), so they are
+    # independent knobs.
+    tile_b_bwd: int = 0
     # False: skip the input-cotangent computation entirely (the [T, in_dim]
     # head backward matmul, the d(embed)/d(coords) chain, and the padded
     # [B, x_cols] HBM store). The training step's inputs are DATA (sampled
@@ -193,13 +201,15 @@ def _bwd_kernel(dout_ref, x_ref, hs_ref, head_w_ref, body_w_ref, body_b_ref,
             dx_ref[:] = grad_h(dpre_b, head_w_ref[:])
 
 
-def _pad_rays(x, tile_b):
+def _pad_rays(x, tile_b, pad_mult=0):
+    """Pad rays to a tile_b multiple (and to pad_mult when the other
+    kernel's tile is larger, so fwd and bwd tilings address one array)."""
     B = x.shape[0]
-    n_tiles = -(-B // tile_b)
-    pad = n_tiles * tile_b - B
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-    return x, n_tiles
+    m = max(tile_b, pad_mult)
+    padded = -(-B // m) * m
+    if padded != B:
+        x = jnp.pad(x, ((0, padded - B), (0, 0)))
+    return x, padded // tile_b
 
 
 def _const_spec(shape):
@@ -234,12 +244,16 @@ def _pack(prof: _Profile, params):
     return packed
 
 
+def _bwd_tile(prof: _Profile) -> int:
+    return prof.tile_b_bwd or prof.tile_b
+
+
 def _fwd_call(prof: _Profile, packed, x):
     n_block, width = packed["body_w"].shape[0], packed["body_w"].shape[-1]
     in_dim = packed["head_w"].shape[0]
     x_cols = x.shape[-1]
     B = x.shape[0]
-    xp, n_tiles = _pad_rays(x, prof.tile_b)
+    xp, n_tiles = _pad_rays(x, prof.tile_b, _bwd_tile(prof))
     kernel = functools.partial(
         _fwd_kernel, n_block=n_block, res_scale=prof.res_scale,
         use_global_residual=prof.use_global_residual,
@@ -278,8 +292,9 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
     in_dim = packed["head_w"].shape[0]
     x_cols = x.shape[-1]
     B = x.shape[0]
-    xp, n_tiles = _pad_rays(x, prof.tile_b)
-    doutp, _ = _pad_rays(dout, prof.tile_b)
+    tile_b = _bwd_tile(prof)
+    xp, n_tiles = _pad_rays(x, tile_b, prof.tile_b)
+    doutp, _ = _pad_rays(dout, tile_b, prof.tile_b)
     kernel = functools.partial(
         _bwd_kernel, n_block=n_block, res_scale=prof.res_scale,
         use_global_residual=prof.use_global_residual,
@@ -302,16 +317,16 @@ def _bwd_call(prof: _Profile, packed, x, hs, dout):
         jax.ShapeDtypeStruct((LANES,), f32),
     ]
     if prof.need_dx:
-        out_specs.append(_row_spec(prof.tile_b, x_cols))
+        out_specs.append(_row_spec(tile_b, x_cols))
         out_shape.append(
-            jax.ShapeDtypeStruct((n_tiles * prof.tile_b, x_cols), f32))
+            jax.ShapeDtypeStruct((n_tiles * tile_b, x_cols), f32))
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            _row_spec(prof.tile_b, LANES),
-            _row_spec(prof.tile_b, x_cols),
-            pl.BlockSpec((n_block + 1, prof.tile_b, width),
+            _row_spec(tile_b, LANES),
+            _row_spec(tile_b, x_cols),
+            pl.BlockSpec((n_block + 1, tile_b, width),
                          lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             _const_spec((in_dim, width)),
             _const_spec((n_block, 2, width, width)),
@@ -381,8 +396,9 @@ _apply.defvjp(_apply_fwd, _apply_bwd)
 
 def r2l_train_apply(params, x, *, res_scale: float = 1.0,
                     use_global_residual: bool = False, tile_b: int = 512,
-                    dtype=jnp.bfloat16, embed_L: int = 0,
-                    need_dx: bool = True, interpret: bool = False):
+                    tile_b_bwd: int = 1024, dtype=jnp.bfloat16,
+                    embed_L: int = 0, need_dx: bool = True,
+                    interpret: bool = False):
     """Differentiable fused R2L forward: x [B, in_dim] -> rgb [B, out_dim].
 
     Drop-in for `model.apply({'params': params}, x)` on the uniform
@@ -395,7 +411,16 @@ def r2l_train_apply(params, x, *, res_scale: float = 1.0,
     + fast polynomial trig — the fast_embed semantics), removing the
     XLA-side embed and its [B, K*(2L+1)] HBM round trip; the backward
     chains d(embed)/d(coords) analytically.
+
+    tile_b / tile_b_bwd: independent forward / backward ray tiles (see
+    _Profile; the r5 sweep put the fwd optimum at 512 and the bwd at 1024).
+    One must divide the other so both tilings address the same padded
+    residual array.
     """
-    prof = _Profile(float(res_scale), bool(use_global_residual), int(tile_b),
-                    dtype, bool(interpret), int(embed_L), bool(need_dx))
+    tb, tbb = int(tile_b), int(tile_b_bwd) or int(tile_b)
+    assert max(tb, tbb) % min(tb, tbb) == 0, \
+        "tile_b and tile_b_bwd must divide one another"
+    prof = _Profile(float(res_scale), bool(use_global_residual), tb,
+                    dtype, bool(interpret), embed_L=int(embed_L),
+                    tile_b_bwd=tbb, need_dx=bool(need_dx))
     return _apply(prof, params, x)

@@ -46,6 +46,7 @@ c2w = jnp.asarray(pose_spherical(30.0, -30.0, 4.0)[:3, :4])
 
 _orig_pdf = renderer.sample_pdf
 _orig_merge = renderer.merge_sorted
+_orig_composite = renderer.raw2outputs_cm
 
 
 def _const_pdf(key, bins, weights, n_samples, **kw):
@@ -60,6 +61,23 @@ def _concat_merge(a, b):
     return jnp.concatenate([a, b], axis=-1)
 
 
+def _cheap_composite(raw_cm, z_vals, rays_d, *a, **kw):
+    # wrong outputs, cheap compute, keeps data deps on raw/z/d so XLA
+    # cannot DCE the kernel that produced raw_cm
+    from efficient_nerf_tpu.core.volume import RenderOutputs
+    s = jnp.mean(raw_cm, axis=0)                        # [N, S]
+    w = s + 1e-12 * z_vals + 1e-12 * rays_d[..., :1]
+    m = jnp.mean(w, axis=-1)
+    rgb = jnp.broadcast_to(m[..., None], m.shape + (3,))
+    return RenderOutputs(rgb, m, m, w, m)
+
+
+def _const_det_pdf(z_mid, weights, n_importance, **kw):
+    z = jnp.linspace(2.0, 6.0, n_importance)
+    return jnp.broadcast_to(z, z_mid.shape[:-1] + (n_importance,)) \
+        + 1e-12 * weights[..., :1]
+
+
 VARIANTS = {
     "full": (cfg, {}),
     "coarse_only": (dataclasses.replace(cfg, n_importance=0), {}),
@@ -67,13 +85,26 @@ VARIANTS = {
     "nomerge": (cfg, {"merge_sorted": _concat_merge}),
     "nopdfmerge": (cfg, {"sample_pdf": _const_pdf,
                          "merge_sorted": _concat_merge}),
+    # r5: knock out the composites / the fused det sampler in the REAL
+    # eval-mode frame (the det path does not go through renderer.sample_pdf)
+    "nocomposite": (cfg, {"raw2outputs_cm": _cheap_composite}),
+    "nodetpdf": (cfg, {"__ops_det_pdf": _const_det_pdf}),
+    "nodetpdfmerge": (cfg, {"__ops_det_pdf": _const_det_pdf,
+                            "merge_sorted": _concat_merge}),
 }
 
 
 def timed(variant, n_lo=1, n_hi=3, reps=4):
+    import efficient_nerf_tpu.ops as _ops
+    _orig_det = _ops.sample_pdf_det_fused
     vcfg, patches = VARIANTS[variant]
     for name, fn in patches.items():
-        setattr(renderer, name, fn)
+        if name == "__ops_det_pdf":
+            # render_rays imports sample_pdf_det_fused from ..ops at call
+            # time, so patch the ops module attribute
+            _ops.sample_pdf_det_fused = fn
+        else:
+            setattr(renderer, name, fn)
     try:
         def make(n):
             @jax.jit
@@ -103,6 +134,8 @@ def timed(variant, n_lo=1, n_hi=3, reps=4):
     finally:
         renderer.sample_pdf = _orig_pdf
         renderer.merge_sorted = _orig_merge
+        renderer.raw2outputs_cm = _orig_composite
+        _ops.sample_pdf_det_fused = _orig_det
 
 
 if __name__ == "__main__":

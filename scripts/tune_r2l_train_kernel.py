@@ -68,18 +68,20 @@ def timed(fn, n_lo=1, n_hi=3, reps=4):
     return (t(run_hi, n_hi) - t(run_lo, n_lo)) / (n_hi - n_lo)
 
 
-def fwd_fn(tile_b):
+def fwd_fn(tile_b, tile_b_bwd):
     def fn(params, xi):
-        out = r2l_train_apply(params, xi, tile_b=tile_b, embed_L=L,
+        out = r2l_train_apply(params, xi, tile_b=tile_b,
+                              tile_b_bwd=tile_b_bwd, embed_L=L,
                               need_dx=False)
         return jnp.sum(out)
     return fn
 
 
-def fwdbwd_fn(tile_b):
+def fwdbwd_fn(tile_b, tile_b_bwd):
     def fn(params, xi):
         def loss(p):
-            out = r2l_train_apply(p, xi, tile_b=tile_b, embed_L=L,
+            out = r2l_train_apply(p, xi, tile_b=tile_b,
+                                  tile_b_bwd=tile_b_bwd, embed_L=L,
                                   need_dx=False)
             return jnp.sum(out ** 2)
         g = jax.grad(loss)(params)
@@ -88,9 +90,12 @@ def fwdbwd_fn(tile_b):
 
 
 if __name__ == "__main__":
-    tiles = [int(a) for a in sys.argv[1:]] or [256, 512, 1024, 2048]
-    for tb in tiles:
-        f = timed(fwd_fn(tb)) * 1e3
-        fb = timed(fwdbwd_fn(tb)) * 1e3
-        print(f"tile_b={tb:5d}  fwd {f:7.2f} ms   fwd+bwd {fb:7.2f} ms   "
-              f"bwd~{fb - f:7.2f} ms", flush=True)
+    # spec: "512" (uniform) or "512:1024" (fwd:bwd split)
+    specs = sys.argv[1:] or ["256", "512", "1024", "2048"]
+    for spec in specs:
+        parts = [int(v) for v in spec.split(":")]
+        tb, tbb = parts[0], parts[-1]
+        f = timed(fwd_fn(tb, tbb)) * 1e3
+        fb = timed(fwdbwd_fn(tb, tbb)) * 1e3
+        print(f"tile_b={tb:5d}/bwd={tbb:5d}  fwd {f:7.2f} ms   "
+              f"fwd+bwd {fb:7.2f} ms   bwd~{fb - f:7.2f} ms", flush=True)

@@ -205,3 +205,17 @@ def test_train_r2l_images_mode(blender_dir, tmp_path):
     logger = Logger(args, basedir=args.basedir)
     state = train(args, logger, max_iters=4)
     assert int(state.step) == 4
+
+
+def test_benchmark_mode_shares_scan_differencing(blender_dir, tmp_path):
+    """--benchmark now runs utils/benchmark.scan_frame_time (varied-input
+    scan differencing with trimmed spread bars) instead of timing repeated
+    identical calls — the recipe the repo's own PERF.md documents as wrong
+    through the tunneled plugin."""
+    args = _base_args(blender_dir, tmp_path, [
+        "--model_name", "R2L", "--benchmark",
+        "--n_sample_per_ray", "4", "--netdepth", "4", "--netwidth", "16",
+    ])
+    logger = Logger(args, basedir=args.basedir)
+    dt = train(args, logger)
+    assert np.isfinite(dt) and dt > 0
