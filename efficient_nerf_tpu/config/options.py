@@ -193,6 +193,11 @@ def build_parser() -> argparse.ArgumentParser:
              "batch (fractional allowed)")
     add("--stream_warmup_frames", type=int, default=4,
         help="streaming generator: frames rendered before the first batch")
+    add("--teacher_quant", type=str, default="", choices=["", "int8"],
+        help="int8 W8A8 teacher body for eval/pseudo-data serving "
+             "(ops/pallas/nerf_int8.py; per-call static activation "
+             "scales). Opt-in: teacher training and strict parity evals "
+             "keep full precision")
     add("--exact_hard_mining", type=_boolish, nargs="?", const=True,
         default=False,
         help="mine hard rays with the exact lax.top_k sort instead of the "

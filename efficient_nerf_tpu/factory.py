@@ -114,10 +114,13 @@ def create_models(args, near: float, far: float, key=None) -> Bundle:
     key = key if key is not None else jax.random.PRNGKey(0)
     cfg_train = render_config_from_args(args, near, far)
     cfg_test = cfg_train.eval_mode()
+    import dataclasses
     if args.perturb_test > 0:
-        import dataclasses
-
         cfg_test = dataclasses.replace(cfg_test, perturb=True)
+    if getattr(args, "teacher_quant", ""):
+        # eval/pseudo-gen serving mode only (no VJP): cfg_train stays ''
+        cfg_test = dataclasses.replace(cfg_test,
+                                       teacher_quant=args.teacher_quant)
 
     warmup = parse_warmup(args.warmup_lr)
     schedule = make_lr_schedule(args.lrate, args.lrate_decay, warmup)

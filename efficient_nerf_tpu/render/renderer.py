@@ -63,6 +63,13 @@ class RenderConfig:
     # Default on; the strict reference-parity gates pin it off
     # (--exact_embed on the CLI).
     fast_embed: bool = True
+    # OPT-IN int8 teacher serving mode ('' | 'int8', --teacher_quant): the
+    # field-eval body runs W8A8 with per-render-call static activation
+    # scales (ops/pallas/nerf_int8.py; jnp twin with identical quantization
+    # math off TPU). Eval/pseudo-gen only — the int8 path has no VJP, so
+    # cfg_train must keep ''. Quality cost is measured by the e2e gate
+    # (tests/test_quality_e2e.py), not assumed.
+    teacher_quant: str = ""
     # whole-ray teacher megakernel (ops/pallas/nerf_frame.py): coarse eval
     # -> composite -> inverse-CDF -> z-merge -> fine eval -> composite in
     # ONE Pallas program. OPT-IN (measured slower than the composed path):
@@ -102,11 +109,11 @@ class RenderResult(NamedTuple):
     z_std: jnp.ndarray
 
 
-def _nerf_profile_ok(model, cfg: RenderConfig) -> bool:
-    """The teacher megakernels cover the reference profile: viewdir branch,
-    one input skip, embed dims matching the config's multires."""
+def _teacher_profile_ok(model, cfg: RenderConfig) -> bool:
+    """The teacher kernels (bf16 + int8) cover the reference profile:
+    viewdir branch, one input skip, embed dims matching the config."""
     skips = tuple(getattr(model, "skips", ()))
-    return (cfg.fused_teacher and cfg.use_viewdirs
+    return (cfg.use_viewdirs
             and getattr(model, "use_viewdirs", False)
             and len(skips) == 1
             # the kernel concatenates the skip input before a *following* pts
@@ -115,6 +122,10 @@ def _nerf_profile_ok(model, cfg: RenderConfig) -> bool:
             and 0 <= skips[0] < model.depth - 1
             and model.input_ch == 3 * (2 * cfg.multires + 1)
             and model.input_ch_views == 3 * (2 * cfg.multires_views + 1))
+
+
+def _nerf_profile_ok(model, cfg: RenderConfig) -> bool:
+    return cfg.fused_teacher and _teacher_profile_ok(model, cfg)
 
 
 def _nerf_fused_eligible(model, cfg: RenderConfig) -> bool:
@@ -134,7 +145,8 @@ def _frame_fused_eligible(model, cfg: RenderConfig, near, far,
     eval/pseudo-gen hot loop (create_data.py:814-872, main.py:189-282)."""
     from ..ops import fused_nerf_frame_available
 
-    return (cfg.frame_fused and _nerf_profile_ok(model, cfg)
+    return (cfg.frame_fused and not cfg.teacher_quant
+            and _nerf_profile_ok(model, cfg)
             and cfg.n_importance >= 16 and cfg.n_samples >= 16
             and cfg.n_samples % 8 == 0 and cfg.n_importance % 8 == 0
             and not cfg.perturb and cfg.raw_noise_std == 0.0
@@ -143,11 +155,38 @@ def _frame_fused_eligible(model, cfg: RenderConfig, near, far,
             and (fused_nerf_frame_available() or _FRAME_INTERPRET))
 
 
+def _query_int8(model, params, pts, viewdirs, cfg: RenderConfig, cm: bool):
+    """--teacher_quant int8 field eval: per-call static-scale calibration
+    (a tiny f32 forward on the call's own first points — in-graph, so no
+    per-checkpoint plumbing) then the W8A8 kernel (jnp twin off TPU, same
+    quantization math). Eval-only: no VJP."""
+    from ..ops import fused_nerf_available
+    from ..ops.pallas.nerf_int8 import (calibrate_nerf_int8,
+                                        nerf_forward_int8,
+                                        nerf_forward_int8_ref)
+
+    if cfg.teacher_quant != "int8":
+        raise ValueError(f"unknown teacher_quant {cfg.teacher_quant!r}")
+    if not _teacher_profile_ok(model, cfg):
+        raise ValueError("teacher_quant=int8 requires the standard "
+                         "viewdir teacher profile")
+    flat = (pts.reshape(3, -1).T if cm else pts.reshape(-1, 3))
+    scales = calibrate_nerf_int8(params, flat[:1024], cfg.multires,
+                                 skip=tuple(model.skips)[0])
+    impl = nerf_forward_int8 if fused_nerf_available() \
+        else nerf_forward_int8_ref
+    return impl(params, pts, viewdirs, cfg.multires, cfg.multires_views,
+                skip=tuple(model.skips)[0], act_scales=scales,
+                dtype=model.dtype, cm=cm)
+
+
 def _query(model, params, pts, viewdirs, cfg: RenderConfig):
     """Embed sample points (+dirs) and evaluate the field MLP.
 
     pts: [N, S, 3]; viewdirs: [N, 3] or None. Returns raw [N, S, 4].
     """
+    if cfg.teacher_quant:
+        return _query_int8(model, params, pts, viewdirs, cfg, cm=False)
     if _nerf_fused_eligible(model, cfg):
         from ..ops import nerf_forward_fused
 
@@ -177,10 +216,13 @@ def _query_composite_cm(model, params, rays_o, rays_d, z_vals, viewdirs,
 
     pts_cm = (rays_o.T[:, :, None]
               + rays_d.T[:, :, None] * z_vals[None])       # [3, N, S]
-    raw_cm = nerf_forward_fused(params, pts_cm, viewdirs,
-                                cfg.multires, cfg.multires_views,
-                                skip=tuple(model.skips)[0],
-                                dtype=model.dtype, cm=True)
+    if cfg.teacher_quant:
+        raw_cm = _query_int8(model, params, pts_cm, viewdirs, cfg, cm=True)
+    else:
+        raw_cm = nerf_forward_fused(params, pts_cm, viewdirs,
+                                    cfg.multires, cfg.multires_views,
+                                    skip=tuple(model.skips)[0],
+                                    dtype=model.dtype, cm=True)
     return raw2outputs_cm(raw_cm, z_vals, rays_d, cfg.raw_noise_std,
                           cfg.white_bkgd, noise_key=noise_key, noise=noise)
 

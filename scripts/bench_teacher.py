@@ -27,11 +27,13 @@ params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
 
 cfg = RenderConfig(n_samples=64, n_importance=128, white_bkgd=True).eval_mode()
 # xla: no Pallas at all; composed: field-eval kernel + standalone sampler +
-# XLA glue; frame: the whole-ray megakernel dispatch (tuned tiling)
+# XLA glue; frame: the whole-ray megakernel dispatch (tuned tiling);
+# int8: the W8A8 field-eval serving mode (--teacher_quant int8, r5)
 variant = sys.argv[1] if len(sys.argv) > 1 else "composed"
 cfg = dataclasses.replace(
     cfg, fused_teacher=(variant != "xla"),
     frame_fused=(variant == "frame"),
+    teacher_quant=("int8" if variant == "int8" else ""),
     frame_tile_r=256, frame_eval_chunks=4)
 
 c2w = jnp.asarray(pose_spherical(30.0, -30.0, 4.0)[:3, :4])

@@ -372,3 +372,71 @@ def test_nerf_frame_fused_matches_render_rays(eval_chunks, rng):
         assert np.array_equal(nan, np.isnan(b)), name
         np.testing.assert_allclose(np.where(nan, 0, b), np.where(nan, 0, a),
                                    atol=2e-5, err_msg=name)
+
+
+def test_nerf_int8_kernel_matches_jnp_twin(rng):
+    """Int8 teacher field-eval kernel (ops/pallas/nerf_int8.py) in interpret
+    mode vs the pure-jnp twin (the production off-TPU fallback), both
+    interfaces, plus the dispatch error for missing scales."""
+    import pytest
+
+    from efficient_nerf_tpu.models import NeRFMLP
+    from efficient_nerf_tpu.ops.pallas.nerf_int8 import (
+        calibrate_nerf_int8, nerf_forward_int8, nerf_forward_int8_ref)
+
+    model = NeRFMLP(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
+    N, S = 9, 24
+    pts = jnp.asarray(rng.normal(size=(N, S, 3)).astype(np.float32)) * 1.5
+    dirs = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    scales = calibrate_nerf_int8(params, pts.reshape(-1, 3)[:128], 10,
+                                 skip=4)
+    assert scales.shape == (8,) and bool(jnp.all(scales > 0))
+
+    kern = nerf_forward_int8(params, pts, dirs, act_scales=scales,
+                             dtype=jnp.float32, interpret=True)
+    ref = nerf_forward_int8_ref(params, pts, dirs, act_scales=scales,
+                                dtype=jnp.float32)
+    # both run identical quantization math; residual diff is the embed's
+    # matmul-vs-elementwise ulps crossing an int8 rounding boundary
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(ref), atol=2e-2)
+
+    pts_cm = jnp.moveaxis(pts, -1, 0)
+    kern_cm = nerf_forward_int8(params, pts_cm, dirs, act_scales=scales,
+                                dtype=jnp.float32, interpret=True, cm=True)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(kern_cm, 0, -1)),
+                               np.asarray(kern), atol=0.0)
+    ref_cm = nerf_forward_int8_ref(params, pts_cm, dirs, act_scales=scales,
+                                   dtype=jnp.float32, cm=True)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(ref_cm, 0, -1)),
+                               np.asarray(ref), atol=0.0)
+
+    with pytest.raises(ValueError):
+        nerf_forward_int8(params, pts, dirs, act_scales=None,
+                          dtype=jnp.float32, interpret=True)
+
+
+def test_nerf_int8_quantization_error_bounded(rng):
+    """Int8 teacher raw outputs stay close to the f32 field on realistic
+    point magnitudes (the e2e PSNR gate lives in test_quality_e2e)."""
+    from efficient_nerf_tpu.models import NeRFMLP
+    from efficient_nerf_tpu.ops.pallas.nerf_forward import nerf_forward_fused
+    from efficient_nerf_tpu.ops.pallas.nerf_int8 import (
+        calibrate_nerf_int8, nerf_forward_int8_ref)
+
+    model = NeRFMLP(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 90)))["params"]
+    N, S = 64, 16
+    pts = jnp.asarray(rng.normal(size=(N, S, 3)).astype(np.float32)) * 2.0
+    dirs = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    scales = calibrate_nerf_int8(params, pts.reshape(-1, 3)[:512], 10,
+                                 skip=4)
+    q = nerf_forward_int8_ref(params, pts, dirs, act_scales=scales,
+                              dtype=jnp.float32)
+    f = nerf_forward_fused(params, pts, dirs, dtype=jnp.float32,
+                           interpret=True)
+    err = np.abs(np.asarray(q) - np.asarray(f))
+    assert err.mean() < 0.02 and err.max() < 0.2, (err.mean(), err.max())

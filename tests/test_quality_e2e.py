@@ -221,3 +221,63 @@ def test_streaming_distillation_matches_teacher(sphere_scene, trained_teacher):
         d_q = float(psnr(jnp.asarray(q_img), t_img))
         mode = "dynamic" if scales is None else "static"
         assert d_q > d_ts - 0.5, f"int8/{mode} psnr {d_q} vs bf16 {d_ts}"
+
+
+def test_int8_teacher_serving_quality(sphere_scene):
+    """--teacher_quant int8 gate on a TRAINED viewdir teacher: the W8A8
+    field eval (driven through render_image — the real dispatch, CPU jnp
+    twin with the served quantization math) must track the full-precision
+    render closely and cost well under half a dB against ground truth.
+    (The sphere fixture's shared teacher is noview; the int8 profile
+    requires the viewdir branch, so a small viewdir teacher trains here.)"""
+    import dataclasses
+
+    data, imgs = sphere_scene
+    H, W, focal = data.hwf
+    i_train = data.splits[0]
+    cfg = RenderConfig(n_samples=24, n_importance=0, perturb=True,
+                       use_viewdirs=True, white_bkgd=True, near=2.0,
+                       far=6.0, chunk=1600)
+    model = NeRFMLP(depth=4, width=64, skips=(2,), use_viewdirs=True)
+    key = jax.random.PRNGKey(11)
+    params = {"coarse": model.init(key, jnp.zeros((1, 90)))["params"]}
+    opt = optax.adam(5e-4)
+    state = init_train_state(params, opt)
+    step = make_teacher_train_step(model, opt, cfg, donate=False)
+    rng = np.random.default_rng(3)
+    ray_cache = {}
+    for i in range(1, 401):
+        img_i = int(rng.choice(i_train))
+        if img_i not in ray_cache:
+            ray_cache[img_i] = get_rays_np(H, W, focal,
+                                           data.poses[img_i][:3, :4])
+        ro, rd = ray_cache[img_i]
+        sel = rng.choice(H * W, size=512, replace=False)
+        state, _ = step(state, jax.random.fold_in(key, i),
+                        jnp.asarray(ro.reshape(-1, 3)[sel]),
+                        jnp.asarray(rd.reshape(-1, 3)[sel]),
+                        jnp.asarray(imgs[img_i].reshape(-1, 3)[sel]))
+
+    pose = jnp.asarray(data.poses[data.splits[2][0]][:3, :4])
+    gt = jnp.asarray(imgs[data.splits[2][0]])
+    ecfg = cfg.eval_mode()
+    fp = render_image(model, state.params["coarse"], None, H, W, focal,
+                      pose, ecfg).rgb
+    q8 = render_image(model, state.params["coarse"], None, H, W, focal,
+                      pose, dataclasses.replace(ecfg,
+                                                teacher_quant="int8")).rgb
+    p_track = float(psnr(q8, fp))
+    assert p_track > 30.0, f"int8-vs-fp render psnr {p_track}"
+    p_fp, p_q8 = float(psnr(fp, gt)), float(psnr(q8, gt))
+    assert p_q8 > p_fp - 0.5, f"int8 gt psnr {p_q8} vs fp {p_fp}"
+
+    # the pseudo-gen consumer: the streaming generator renders its frames
+    # through the same dispatch when the teacher cfg carries teacher_quant
+    gen = StreamingPseudoGenerator(
+        model, state.params["coarse"], None,
+        dataclasses.replace(cfg, teacher_quant="int8"), H, W, focal,
+        batch_rays=256, buffer_rays=10_000, warmup_frames=2,
+        frames_per_batch=0.0, use_rand_focal=False,
+        rng=np.random.default_rng(5))
+    o, d, t = next(gen)
+    assert np.isfinite(t).all() and t.shape == (256, 3)
