@@ -182,6 +182,13 @@ class StreamingPseudoGenerator:
         self.frames_per_batch = frames_per_batch
         self._debt = 0.0
         self.frames_rendered = 0
+        # one-frame pipeline: frame k+1's render is dispatched BEFORE frame
+        # k's rows are fetched to the host, so the ~5.8 MB device->host
+        # copy (a ~250 ms round trip through the tunneled plugin — more
+        # than half a 400x400 teacher frame) overlaps the next render
+        # instead of serializing after it. Measured end-to-end: 648 ->
+        # ~390 ms/frame bf16 (docs/PERF.md r5).
+        self._pending = None
         for _ in range(warmup_frames):
             self._render_one()
 
@@ -190,9 +197,16 @@ class StreamingPseudoGenerator:
         fs = 1.0 + self.rng.random() if self.use_rand_focal else 1.0
         rows = self.render_frame(self.params[0], self.params[1],
                                  jnp.asarray(pose[:3, :4]),
-                                 jnp.float32(fs), None)
-        self.buffer.add(np.asarray(rows))
+                                 jnp.float32(fs), None)  # async dispatch
+        if self._pending is not None:
+            self.buffer.add(np.asarray(self._pending))
+        self._pending = rows
         self.frames_rendered += 1
+
+    def _flush(self):
+        if self._pending is not None:
+            self.buffer.add(np.asarray(self._pending))
+            self._pending = None
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         return self
@@ -202,6 +216,8 @@ class StreamingPseudoGenerator:
         while self._debt >= 1.0:
             self._render_one()
             self._debt -= 1.0
+        if self.buffer.size == 0:
+            self._flush()
         rows = self.buffer.sample(self.batch_rays)
         return rows[:, :3], rows[:, 3:6], rows[:, 6:]
 
@@ -233,12 +249,18 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
         if resume else 0
 
     acc = []
+    pending = None  # one-frame pipeline (see StreamingPseudoGenerator)
     for i in range(1, n_pose + 1):
         pose = pose_sampler(rng)
         fs = 1.0 + rng.random() if use_rand_focal else 1.0
         rows = render_frame(params_coarse, params_fine,
                             jnp.asarray(pose[:3, :4]), jnp.float32(fs), None)
-        acc.append(np.asarray(rows))
+        if pending is not None:
+            acc.append(np.asarray(pending))
+        pending = rows
+        if i % i_save == 0 or i == n_pose:
+            acc.append(np.asarray(pending))
+            pending = None
         if progress is not None:
             progress(i, n_pose)
         if i % i_save == 0 or i == n_pose:
