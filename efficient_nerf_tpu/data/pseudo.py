@@ -258,12 +258,11 @@ def export_pseudo_shards(model, params_coarse, params_fine, cfg: RenderConfig,
         if pending is not None:
             acc.append(np.asarray(pending))
         pending = rows
-        if i % i_save == 0 or i == n_pose:
-            acc.append(np.asarray(pending))
-            pending = None
         if progress is not None:
             progress(i, n_pose)
         if i % i_save == 0 or i == n_pose:
+            acc.append(np.asarray(pending))   # drain the pipeline at the
+            pending = None                    # shard boundary
             data = np.concatenate(acc, 0)
             data = data[rng.permutation(data.shape[0])]
             data = data[rng.permutation(data.shape[0])]

@@ -123,11 +123,18 @@ def _select_coords(rng, H, W, n_rand, mode, precrop_frac=None):
         dH, dW = int(H // 2 * precrop_frac), int(W // 2 * precrop_frac)
         y0, x0 = H // 2 - dH, W // 2 - dW
         gh, gw = 2 * dH, 2 * dW
+    if n_rand > gh * gw:
+        # the reference fails here too (randint/choice over the cropped
+        # grid); a silent patch outside the precrop window would defeat
+        # the warmup and can index past the image
+        raise ValueError(f"N_rand {n_rand} exceeds the "
+                         f"{'precropped ' if precrop_frac else ''}grid "
+                         f"{gh}x{gw}")
     if mode == "rand_patch":
         k = math.sqrt(float(n_rand) / gh / gw)
         ph, pw = int(gh * k), int(gw * k)
-        py = y0 + (int(rng.integers(0, gh - ph)) if gh > ph else 0)
-        px = x0 + (int(rng.integers(0, gw - pw)) if gw > pw else 0)
+        py = y0 + int(rng.integers(0, gh - ph + 1))
+        px = x0 + int(rng.integers(0, gw - pw + 1))
         ys, xs = np.meshgrid(np.arange(py, py + ph), np.arange(px, px + pw),
                              indexing="ij")
         return np.stack([ys, xs], -1).reshape(-1, 2)
@@ -238,29 +245,44 @@ def train(args, logger: Optional[Logger] = None, max_iters: Optional[int] = None
         # bench.py's varied-input scan-differencing instead
         # (utils/benchmark.py), so the user-facing number and the tracked
         # BENCH_r*.json agree within the reported spread.
+        from .models import R2LConvNet
         from .render.r2l_renderer import (calibrate_serving_scales,
-                                          r2l_forward_rays)
+                                          r2l_forward_rays,
+                                          r2l_render_image)
         from .core.rays import get_rays
-        from .utils.benchmark import scan_frame_time
+        from .utils.benchmark import scan_frame_time, scan_thunk_time
 
         c2w = jnp.asarray(video_poses[0][:3, :4])
         quant = getattr(args, "inference_quant", "")
-        rays_o, rays_d = get_rays(H, W, focal, c2w)
-        rays_o, rays_d = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
-        act_scales = None
-        if quant == "int8":
-            act_scales = calibrate_serving_scales(
-                bundle.model, bundle.params, rays_o, rays_d, near, far,
-                args.n_sample_per_ray, L=args.multires)
+        if isinstance(bundle.model, R2LConvNet):
+            # conv student: the served program is the full-frame conv apply
+            # (r2l_render_image's [1, H, W, C] grid) — a flat-ray forward
+            # would measure the degenerate 1x1-patch program instead
+            def frame(params, eps):
+                return r2l_render_image(bundle.model, params, c2w + eps, H,
+                                        W, focal, near, far,
+                                        args.n_sample_per_ray,
+                                        L=args.multires)
 
-        def render(params, o, d):
-            return r2l_forward_rays(bundle.model, params, o, d, near, far,
-                                    args.n_sample_per_ray, L=args.multires,
-                                    plucker=args.plucker, quant=quant,
-                                    act_scales=act_scales)
+            dt, spread = scan_thunk_time(frame, bundle.params, log=log)
+        else:
+            rays_o, rays_d = get_rays(H, W, focal, c2w)
+            rays_o, rays_d = rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)
+            act_scales = None
+            if quant == "int8":
+                act_scales = calibrate_serving_scales(
+                    bundle.model, bundle.params, rays_o, rays_d, near, far,
+                    args.n_sample_per_ray, L=args.multires)
 
-        dt, spread = scan_frame_time(render, bundle.params, rays_o, rays_d,
-                                     log=log)
+            def render(params, o, d):
+                return r2l_forward_rays(bundle.model, params, o, d, near,
+                                        far, args.n_sample_per_ray,
+                                        L=args.multires,
+                                        plucker=args.plucker, quant=quant,
+                                        act_scales=act_scales)
+
+            dt, spread = scan_frame_time(render, bundle.params, rays_o,
+                                         rays_d, log=log)
         log(f"[BENCH] frame {dt * 1e3:.2f}ms  {H * W / dt / 1e6:.2f}M rays/s"
             f"  (core spread ±{spread / 2:.1f}%)")
         return dt

@@ -27,14 +27,12 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["scan_frame_time"]
+__all__ = ["scan_frame_time", "scan_thunk_time"]
 
 
-def scan_frame_time(
-    render: Callable,
+def scan_thunk_time(
+    fn: Callable,
     params,
-    rays_o,
-    rays_d,
     *,
     n_lo: int = 1,
     n_hi: int = 6,
@@ -45,21 +43,19 @@ def scan_frame_time(
     max_extra_rounds: int = 2,
     log=None,
 ) -> Tuple[float, float]:
-    """Seconds per render(params, rays_o, rays_d) call, with a spread bar.
+    """Seconds per fn(params, eps) call, with a trimmed-core spread bar.
 
-    render must be a pure jit-traceable function of (params, rays_o,
-    rays_d) -> array. Returns (seconds_per_frame, spread_pct) where
-    spread_pct is the relative spread of the surviving (trimmed) core of
-    independent scan-differencing estimates — the number the headline must
-    be defensible against.
+    fn must be a pure jit-traceable (params, eps scalar) -> array whose
+    work depends on eps (so per-iteration results cannot be cached/CSE'd).
+    This is the one scan-differencing implementation; scan_frame_time and
+    the kernel-tuning scripts are thin closures over it.
     """
 
     def make_scan(n):
         @jax.jit
-        def run(params, rays_o, rays_d, epss):
+        def run(params, epss):
             def body(acc, eps):
-                out = render(params, rays_o + eps, rays_d)
-                return acc + jnp.sum(out), None
+                return acc + jnp.sum(fn(params, eps)), None
 
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), epss)
             return acc
@@ -69,14 +65,14 @@ def scan_frame_time(
     run_lo, run_hi = make_scan(n_lo), make_scan(n_hi)
     eps_lo = jnp.linspace(0.0, 1e-6, n_lo)
     eps_hi = jnp.linspace(0.0, 1e-6, n_hi)
-    float(run_lo(params, rays_o, rays_d, eps_lo))  # compile
-    float(run_hi(params, rays_o, rays_d, eps_hi))
+    float(run_lo(params, eps_lo))  # compile
+    float(run_hi(params, eps_hi))
 
     def timed(run, eps):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(run(params, rays_o, rays_d, eps))  # scalar fetch = barrier
+            float(run(params, eps))  # scalar fetch = completion barrier
             ts.append(time.perf_counter() - t0)
         # min: the contention-free floor (differencing medians was noisy)
         return min(ts)
@@ -105,3 +101,15 @@ def scan_frame_time(
         ds.extend(one_estimate() for _ in range(k))
         med, spread = core_of(ds, keep + extra * (k - keep))
     return med, spread
+
+
+def scan_frame_time(render: Callable, params, rays_o, rays_d,
+                    **kw) -> Tuple[float, float]:
+    """Seconds per render(params, rays_o, rays_d) call, with a spread bar.
+
+    render must be a pure jit-traceable function of (params, rays_o,
+    rays_d) -> array; inputs are varied per scan iteration by an eps
+    offset on rays_o. Returns (seconds_per_frame, spread_pct) — see
+    scan_thunk_time for the methodology."""
+    return scan_thunk_time(
+        lambda p, eps: render(p, rays_o + eps, rays_d), params, **kw)

@@ -32,39 +32,25 @@ params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 90)))["params"]
 rng = np.random.default_rng(0)
 
 
-def timed(S, tile_p, interleave, n_pts=2_000_000, n_lo=1, n_hi=3, reps=4):
+def timed(S, tile_p, interleave, n_pts=2_000_000):
+    """Shared scan-differencing harness (utils/benchmark.scan_thunk_time) —
+    one implementation, with a trimmed-core spread bar instead of the
+    single-estimate form that mislead the first r5 sweep (PERF.md)."""
+    from efficient_nerf_tpu.utils.benchmark import scan_thunk_time
+
     n_rays = n_pts // S
     P = n_rays * S
     # production interface: channel-major [3, N, S] points
     pts = jnp.asarray(rng.normal(size=(3, n_rays, S)).astype(np.float32))
     dirs = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
 
-    def make(n):
-        @jax.jit
-        def run(params, epss):
-            def body(acc, eps):
-                raw = nerf_forward_fused(params, pts + eps, dirs, cm=True,
-                                         tile_p=tile_p, interleave=interleave)
-                return acc + jnp.sum(raw), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), epss)
-            return acc
-        return run
+    def fn(params, eps):
+        return nerf_forward_fused(params, pts + eps, dirs, cm=True,
+                                  tile_p=tile_p, interleave=interleave)
 
-    run_lo, run_hi = make(n_lo), make(n_hi)
-    float(run_lo(params, jnp.linspace(0.0, 1e-6, n_lo)))
-    float(run_hi(params, jnp.linspace(0.0, 1e-6, n_hi)))
-
-    def t(run, n):
-        eps = jnp.linspace(0.0, 1e-6, n)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run(params, eps))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    dt = (t(run_hi, n_hi) - t(run_lo, n_lo)) / (n_hi - n_lo)
-    return dt, P
+    dt, spread = scan_thunk_time(fn, params, n_lo=1, n_hi=3, k=3,
+                                 max_extra_rounds=0)
+    return dt, spread, P
 
 
 if __name__ == "__main__":
@@ -74,7 +60,8 @@ if __name__ == "__main__":
     ]
     for spec in specs:
         S, tp, il = (int(v) for v in spec.split(":"))
-        dt, P = timed(S, tp, il)
+        dt, spread, P = timed(S, tp, il)
         tf = P * MFLOP_PER_POINT * 1e6 / dt / 1e12
         print(f"S={S:3d} tile_p={tp:5d} il={il}  {dt * 1e3:7.2f} ms/2M pts"
-              f"   {tf:6.1f} TFLOP/s", flush=True)
+              f"   {tf:6.1f} TFLOP/s  (core spread {spread:.1f}%)",
+              flush=True)

@@ -42,30 +42,14 @@ rng = np.random.default_rng(0)
 x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
 
 
-def timed(fn, n_lo=1, n_hi=3, reps=4):
-    def make(n):
-        @jax.jit
-        def run(params, epss):
-            def body(acc, eps):
-                return acc + fn(params, x + eps), None
-            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), epss)
-            return acc
-        return run
+def timed(fn, n_lo=1, n_hi=3):
+    """Shared scan-differencing harness (utils/benchmark.scan_thunk_time)."""
+    from efficient_nerf_tpu.utils.benchmark import scan_thunk_time
 
-    run_lo, run_hi = make(n_lo), make(n_hi)
-    float(run_lo(params, jnp.linspace(0.0, 1e-6, n_lo)))
-    float(run_hi(params, jnp.linspace(0.0, 1e-6, n_hi)))
-
-    def t(run, n):
-        eps = jnp.linspace(0.0, 1e-6, n)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run(params, eps))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (t(run_hi, n_hi) - t(run_lo, n_lo)) / (n_hi - n_lo)
+    dt, _spread = scan_thunk_time(lambda p, eps: fn(p, x + eps), params,
+                                  n_lo=n_lo, n_hi=n_hi, k=3,
+                                  max_extra_rounds=0)
+    return dt
 
 
 def fwd_fn(tile_b, tile_b_bwd):
