@@ -149,34 +149,54 @@ def _kernel(pts_ref, dirs_ref, fp_ref, php_ref, idp_ref,
           for k in K]
     fdim = (((0,), (0,)), ((), ()))
 
-    def qmm(h, qw, inv_s, dqs):
-        """int8 matmul with static activation scale: h f32 [T, W] ->
-        dequantized f32 [T, N]."""
-        acc = jax.lax.dot_general(_qstatic(h, inv_s), qw,
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        return acc.astype(f32) * dqs
+    def imm(q, qw):
+        return jax.lax.dot_general(q, qw, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
 
-    def layer(x_w, h, i):
-        g = qmm(h, body_qw_ref[i - 1], body_invs_ref[i - 1, 0],
-                body_dqs_ref[i - 1])
+    # Folded epilogues (r2l_int8's trick): relu commutes with the positive
+    # next-stage scale, so for every body layer whose output feeds ONLY
+    # the next int8 matmul the chain dequant -> (+skip) -> bias -> relu ->
+    # requantize collapses to one fused multiply-add + relu + round/clip —
+    # the wrapper pre-folds inv_{i+1} into body_dqs/body_b/skip_x_w, so
+    # the kernel never materializes the unscaled activation. Only the
+    # LAST body layer stays unfolded: its h feeds both the bf16 alpha
+    # head and the feature quantize.
+    def folded_layer(x_w, q, i):
+        t = imm(q, body_qw_ref[i - 1]).astype(f32) * body_dqs_ref[i - 1] \
+            + body_b_ref[i - 1]
         if i == skip + 1:
-            g = g + jax.lax.dot_general(x_w, skip_x_w_ref[:], fdim,
+            t = t + jax.lax.dot_general(x_w, skip_x_w_ref[:], fdim,
                                         preferred_element_type=f32)
-        return jnp.maximum(g + body_b_ref[i - 1].astype(f32), 0.0)
+        return jnp.clip(jnp.round(jnp.maximum(t, 0.0)), -127.0, 127.0
+                        ).astype(jnp.int8)
 
-    hs = [jnp.maximum(
-        jax.lax.dot_general(xs[k], pts0_w_ref[:], fdim,
-                            preferred_element_type=f32)
-        + pts0_b_ref[:].astype(f32), 0.0) for k in K]
-    for i in range(1, depth):
-        hs = [layer(xs[k], hs[k], i) for k in K]
+    # head output -> first quantize (explicit: h0 comes from a bf16 matmul)
+    qs = []
+    for k in K:
+        h0 = jnp.maximum(
+            jax.lax.dot_general(xs[k], pts0_w_ref[:], fdim,
+                                preferred_element_type=f32)
+            + pts0_b_ref[:].astype(f32), 0.0)
+        qs.append(_qstatic(h0, body_invs_ref[0, 0]))
+    for i in range(1, depth - 1):
+        qs = [folded_layer(xs[k], qs[k], i) for k in K]
+    # last body layer: unfolded (plain dqs/bias — the wrapper leaves them
+    # unscaled for this row)
+    hs = []
+    for k in K:
+        g = imm(qs[k], body_qw_ref[depth - 2]).astype(f32) \
+            * body_dqs_ref[depth - 2] + body_b_ref[depth - 2]
+        if depth - 1 == skip + 1:
+            g = g + jax.lax.dot_general(xs[k], skip_x_w_ref[:], fdim,
+                                        preferred_element_type=f32)
+        hs.append(jnp.maximum(g, 0.0))
 
     for k in K:
         h = hs[k]                                         # f32 [sub, W]
         alpha_part = jnp.dot(h.astype(wdt), out_w_h_ref[:],
                              preferred_element_type=f32)
-        feat = (qmm(h, feat_qw_ref[:], feat_invs_ref[0, 0], feat_dqs_ref[:])
+        feat = (imm(_qstatic(h, feat_invs_ref[0, 0]),
+                    feat_qw_ref[:]).astype(f32) * feat_dqs_ref[:]
                 + feat_b_ref[:].astype(f32)).astype(wdt)
         hv = (jnp.dot(feat, views_h_w_ref[:], preferred_element_type=f32)
               + bcast_rays(hv_d_ray[k * rsub:(k + 1) * rsub], rsub)
@@ -221,8 +241,20 @@ def nerf_forward_int8(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     dirs_emb = _linearized_embed(viewdirs.astype(jnp.float32), L_views)
 
     act_scales = jnp.asarray(act_scales, jnp.float32)
-    body_dqs = act_scales[:-1, None] * packed["body_sw"]   # [d-1, W]
-    body_invs = (1.0 / act_scales[:-1])[:, None]           # [d-1, 1]
+    depth0 = packed["depth"]
+    inv_all = 1.0 / act_scales                             # [depth]
+    # fold[r] = next-stage inverse scale for body row r (layer r+1); the
+    # last row stays unfolded (its h feeds alpha + the feature quantize)
+    fold = jnp.concatenate([inv_all[1:depth0 - 1],
+                            jnp.ones((1,), jnp.float32)])  # [d-1]
+    body_dqs = (act_scales[:-1, None] * packed["body_sw"]
+                * fold[:, None])                           # [d-1, W]
+    body_b = jnp.stack(
+        [jnp.asarray(params[f"pts_{i}"]["bias"], jnp.float32)
+         for i in range(1, depth0)], 0) * fold[:, None]
+    skip_x_w = (packed["skip_x_w"].astype(jnp.float32)
+                * fold[skip]).astype(dtype)
+    body_invs = (1.0 / act_scales[:-1])[:, None]  # kernel reads row 0 only
     feat_dqs = act_scales[-1] * packed["feat_sw"]          # [W]
     feat_invs = (1.0 / act_scales[-1])[None, None]         # [1, 1]
 
@@ -285,9 +317,7 @@ def nerf_forward_int8(params, pts, viewdirs, L: int = 10, L_views: int = 4,
     )(pts_cm, dirs_emb, fcol, phcol, idcol,
       packed["pts0_w"], packed["pts0_b"],
       packed["body_qw"], body_dqs, body_invs,
-      jnp.stack([jnp.asarray(params[f"pts_{i}"]["bias"], jnp.float32)
-                 for i in range(1, depth)], 0),
-      packed["skip_x_w"],
+      body_b, skip_x_w,
       packed["feat_qw"], feat_dqs, feat_invs,
       jnp.asarray(params["feature"]["bias"], jnp.float32),
       packed["views_h_w"], packed["views_d_w"], packed["views_b"],
@@ -319,29 +349,43 @@ def nerf_forward_int8_ref(params, pts, viewdirs, L: int = 10,
 
     x = _linearized_embed(pts_rm.reshape(-1, 3).astype(f32), L)
     wdt = packed["pts0_w"].dtype
-    h = jnp.maximum(
+    h0 = jnp.maximum(
         jnp.dot(x.astype(wdt), packed["pts0_w"], preferred_element_type=f32)
         + packed["pts0_b"].astype(f32), 0.0)
 
-    def qmm(h, qw, inv_s, dqs):
-        acc = jax.lax.dot_general(_qstatic(h, inv_s), qw,
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        return acc.astype(f32) * dqs
+    # identical folded epilogue math as the kernel (see _kernel): the
+    # next-stage inverse scale is pre-multiplied into dqs/bias/skip for
+    # every body layer except the last
+    inv_all = 1.0 / act_scales
+    fold = jnp.concatenate([inv_all[1:depth - 1],
+                            jnp.ones((1,), f32)])
+    skip_x_w = (packed["skip_x_w"].astype(f32)
+                * fold[skip]).astype(wdt)
 
+    def imm(q, qw):
+        return jax.lax.dot_general(q, qw, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    q = _qstatic(h0, inv_all[0])
     for i in range(1, depth):
-        g = qmm(h, packed["body_qw"][i - 1], 1.0 / act_scales[i - 1],
-                act_scales[i - 1] * packed["body_sw"][i - 1])
+        r = i - 1
+        dqs = act_scales[r] * packed["body_sw"][r] * fold[r]
+        b = jnp.asarray(params[f"pts_{i}"]["bias"], f32) * fold[r]
+        t = imm(q, packed["body_qw"][r]).astype(f32) * dqs + b
         if i == skip + 1:
-            g = g + jnp.dot(x.astype(wdt), packed["skip_x_w"],
+            t = t + jnp.dot(x.astype(wdt), skip_x_w,
                             preferred_element_type=f32)
-        b = jnp.asarray(params[f"pts_{i}"]["bias"], f32)
-        h = jnp.maximum(g + b, 0.0)
+        if i < depth - 1:
+            q = jnp.clip(jnp.round(jnp.maximum(t, 0.0)), -127.0, 127.0
+                         ).astype(jnp.int8)
+        else:
+            h = jnp.maximum(t, 0.0)
 
     alpha_part = jnp.dot(h.astype(wdt), packed["out_w_h"],
                          preferred_element_type=f32)
-    feat = (qmm(h, packed["feat_qw"], 1.0 / act_scales[-1],
-                act_scales[-1] * packed["feat_sw"])
+    feat = (imm(_qstatic(h, inv_all[-1]),
+                packed["feat_qw"]).astype(f32)
+            * (act_scales[-1] * packed["feat_sw"])
             + jnp.asarray(params["feature"]["bias"], f32)).astype(wdt)
     dirs_emb = _linearized_embed(viewdirs.astype(f32), L_views).astype(wdt)
     hv_d = jnp.dot(dirs_emb, packed["views_d_w"], preferred_element_type=f32)
