@@ -535,3 +535,34 @@ def test_llff_rand_pose_matches_reference():
         np.random.seed(seed)
         got = make_llff_pose_sampler(poses)(_GlobalNpShim())
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_novel_and_rand_poses_match_reference():
+    """novel_pose_grid / random_spherical_pose vs the ACTUAL
+    get_novel_poses / get_rand_pose (load_blender.py:327-368) across all
+    three spec forms (int orbit, [n,n,n] grid, sample:/fix: strings)."""
+    from dataset.load_blender import (get_novel_poses as ref_novel,
+                                      get_rand_pose as ref_rand)
+
+    from efficient_nerf_tpu.core.poses import (novel_pose_grid,
+                                               random_spherical_pose)
+
+    np.testing.assert_allclose(novel_pose_grid(6),
+                               ref_novel(None, 6).cpu().numpy(), atol=1e-5)
+    np.testing.assert_allclose(novel_pose_grid([4, 2, 3]),
+                               ref_novel(None, ["4", "2", "3"]).cpu().numpy(),
+                               atol=1e-5)
+    spec = ["sample:4", "fix:-30", "fix:4"]
+    np.testing.assert_allclose(novel_pose_grid(spec),
+                               ref_novel(None, spec).cpu().numpy(), atol=1e-5)
+
+    class _GlobalNpShim:  # replay the reference's np.random.rand() draws
+        def uniform(self, lo, hi):
+            return lo + np.random.rand() * (hi - lo)
+
+    for seed in (0, 42):
+        np.random.seed(seed)
+        want = ref_rand().cpu().numpy()
+        np.random.seed(seed)
+        got = random_spherical_pose(_GlobalNpShim())
+        np.testing.assert_allclose(got, want, atol=1e-5)
